@@ -1,0 +1,139 @@
+"""Host-side audio I/O: wav segment reads, resampling, crop arithmetic.
+
+Rebuilds the reference's MATLAB ``audioread``/``audioinfo``/``resample``
+usage (getBatchEmoVoxCeleb.m:79,97-118, compute_audio_feats.m:173):
+random-access wav segment reads without full decode, duration queries,
+and polyphase speed perturbation. A C++ data service (native/) provides
+the threaded fast path; this module is the pure-Python reference
+implementation with identical semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WavInfo:
+    """audioinfo equivalent."""
+
+    num_samples: int
+    sample_rate: int
+    num_channels: int
+    bits_per_sample: int
+    data_offset: int  # byte offset of PCM payload
+    audio_format: int  # 1 = PCM int, 3 = IEEE float
+
+    @property
+    def duration(self) -> float:
+        return self.num_samples / self.sample_rate
+
+
+def wav_info(path: str | Path) -> WavInfo:
+    """Parse RIFF/WAVE headers only (no payload decode)."""
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                raise ValueError(f"{path}: missing data chunk")
+            chunk_id, size = header[:4], struct.unpack("<I", header[4:])[0]
+            if chunk_id == b"fmt ":
+                fmt = f.read(size)
+                if size % 2:
+                    f.read(1)
+            elif chunk_id == b"data":
+                if fmt is None:
+                    raise ValueError(f"{path}: data before fmt")
+                audio_format, channels, rate = struct.unpack("<HHI", fmt[:8])
+                bits = struct.unpack("<H", fmt[14:16])[0]
+                bytes_per_frame = channels * bits // 8
+                return WavInfo(
+                    num_samples=size // bytes_per_frame,
+                    sample_rate=rate,
+                    num_channels=channels,
+                    bits_per_sample=bits,
+                    data_offset=f.tell(),
+                    audio_format=audio_format,
+                )
+            else:
+                f.seek(size + (size % 2), 1)
+
+
+def read_wav(path: str | Path, start: int = 0,
+             num_samples: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """audioread equivalent with [start, start+n) segment access.
+
+    Returns (float32 mono samples in [-1, 1], sample_rate). Random access
+    seeks directly to the requested frames — no full decode, matching the
+    reference's windowed reads (getBatchEmoVoxCeleb.m:97-100).
+    """
+    info = wav_info(path)
+    if num_samples is None:
+        num_samples = info.num_samples - start
+    num_samples = max(0, min(num_samples, info.num_samples - start))
+    bytes_per_sample = info.bits_per_sample // 8
+    frame_bytes = bytes_per_sample * info.num_channels
+    with open(path, "rb") as f:
+        f.seek(info.data_offset + start * frame_bytes)
+        raw = f.read(num_samples * frame_bytes)
+    if info.audio_format == 3 and info.bits_per_sample == 32:
+        data = np.frombuffer(raw, "<f4").astype(np.float32)
+    elif info.bits_per_sample == 16:
+        data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif info.bits_per_sample == 32:
+        data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif info.bits_per_sample == 8:
+        data = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {info.bits_per_sample}")
+    if info.num_channels > 1:
+        data = data.reshape(-1, info.num_channels).mean(axis=1)
+    return data, info.sample_rate
+
+
+def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
+    """PCM16 wav writer (for synthetic fixtures and sample_audio exports)."""
+    samples = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
+    pcm = (samples * 32767.0).astype("<i2")
+    payload = pcm.tobytes()
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                            sample_rate * 2, 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+
+
+def resample_poly(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Rational polyphase resample (MATLAB ``resample(x, p, q)``)."""
+    from scipy.signal import resample_poly as _rp
+
+    return _rp(x, up, down).astype(np.float32)
+
+
+def speed_perturb(x: np.ndarray, factor: float, max_denominator: int = 100) -> np.ndarray:
+    """Speed perturbation by rational resampling, factor in [0.95, 1.05].
+
+    The reference draws a random factor and resamples
+    (getBatchEmoVoxCeleb.m:102-108); playing at `factor` speed means
+    resampling by 1/factor.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(factor).limit_denominator(max_denominator)
+    # playback speed f => new length N/f => resample up=q, down=p
+    return resample_poly(x, frac.denominator, frac.numerator)

@@ -1,0 +1,249 @@
+"""EmoVoxCeleb student batch pipeline (``getBatchEmoVoxCeleb`` equivalent).
+
+Per-sample logic replicated from getBatchEmoVoxCeleb.m:
+
+- random ``num_seconds`` crop in train; deterministic (start-anchored) in
+  val — the reference's 'vI' transform string (:21-26);
+- clips capped at 19.9 s (:84-88), short clips zero-padded (:115-119);
+- optional speed perturbation 0.95-1.05 via polyphase resample (:102-108);
+- optional additive noise mixing from another random clip (:122-131);
+- crop time -> teacher-logit frame indices via ``time_to_logit_idx``
+  (fps=25, stride=6; :210-214); logits aggregated over the crop window by
+  max or mean (:179-185), truncated to ``num_pred_emotions`` (:188);
+- loss-specific targets (:28-44): softmaxlog -> max_label; euclidean ->
+  logit_target + instance_weights + max_label; hot-cross-ent ->
+  logit_target + max_label.
+
+TPU-native split of responsibilities: this host pipeline emits raw
+waveform crops ([B, 64384] float32, 0.25 MB/utt) plus targets; the
+spectrogram frontend + instance norm run **on device inside the train
+step** (ops/spectrogram.py), so the host never materialises the 4x larger
+spectrogram and the STFT rides the MXU. (The reference computed
+spectrograms on the CPU in the batch loader — its throughput bottleneck,
+SURVEY.md section 3.1.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from mcncrossmodalemotions_tpu.data.audio import read_wav, speed_perturb, wav_info
+from mcncrossmodalemotions_tpu.data.imdb import EmoVoxImdb
+from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC, SpecConfig
+
+MAX_CLIP_SECONDS = 19.9  # getBatchEmoVoxCeleb.m:84-88
+LOGIT_FPS = 25.0  # video frame rate (time2idx, :210-214)
+LOGIT_STRIDE = 6  # teacher logits every 6th frame
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchConfig:
+    """Batch-loader options (run_distillation.m:71-89 defaults)."""
+
+    num_seconds: float = 4.0
+    batch_size: int = 64
+    loss_type: str = "hot-cross-ent"
+    logit_aggregator: str = "max"  # 'max' | 'mean'
+    num_pred_emotions: int = 8
+    speed_aug: bool = False
+    noise_aug: bool = False
+    spec: SpecConfig = DEFAULT_SPEC
+
+    @property
+    def num_frames(self) -> int:
+        return int(round(self.num_seconds * self.spec.frames_per_second()))
+
+    @property
+    def crop_samples(self) -> int:
+        return self.spec.crop_samples(self.num_frames)  # 64,384 for 4 s
+
+
+def time_to_logit_idx(t_seconds: float, num_logits: int) -> int:
+    """Map a time offset to the nearest teacher-logit frame index
+    (time2idx equivalent, fps=25 stride=6)."""
+    idx = int(np.floor(t_seconds * LOGIT_FPS / LOGIT_STRIDE))
+    return int(np.clip(idx, 0, max(num_logits - 1, 0)))
+
+
+def aggregate_logits(wav_logits: np.ndarray, t0: float, t1: float,
+                     aggregator: str = "max") -> np.ndarray:
+    """Aggregate per-frame teacher logits over the crop window [t0, t1]."""
+    f = len(wav_logits)
+    i0 = time_to_logit_idx(t0, f)
+    i1 = max(time_to_logit_idx(t1, f) + 1, i0 + 1)
+    window = wav_logits[i0:i1]
+    if aggregator == "max":
+        return window.max(axis=0)
+    if aggregator == "mean":
+        return window.mean(axis=0)
+    raise ValueError(f"unknown aggregator {aggregator!r}")
+
+
+def load_crop(wav_path: str | Path, cfg: BatchConfig,
+              rng: Optional[np.random.RandomState] = None,
+              noise_path: Optional[str] = None):
+    """Read one crop; returns (samples[crop_samples], t0_seconds, duration).
+
+    Deterministic (start-anchored) when ``rng is None`` — the val-set 'vI'
+    behavior; random crop start + optional augmentation otherwise.
+    """
+    info = wav_info(wav_path)
+    fs = cfg.spec.sample_rate
+    total = min(info.num_samples, int(MAX_CLIP_SECONDS * info.sample_rate))
+    need = cfg.crop_samples
+
+    factor = 1.0
+    if rng is not None and cfg.speed_aug:
+        factor = float(rng.uniform(0.95, 1.05))
+    # samples to read so that after resample we have >= `need`
+    need_raw = int(np.ceil(need * factor)) + 4 if factor != 1.0 else need
+
+    max_start = max(total - need_raw, 0)
+    start = int(rng.randint(0, max_start + 1)) if (rng is not None and max_start > 0) else 0
+    samples, got_fs = read_wav(wav_path, start, min(need_raw, total - start))
+    if got_fs != fs:
+        from mcncrossmodalemotions_tpu.data.audio import resample_poly
+        from fractions import Fraction
+
+        frac = Fraction(fs, got_fs)
+        samples = resample_poly(samples, frac.numerator, frac.denominator)
+    if factor != 1.0:
+        samples = speed_perturb(samples, factor)
+    if len(samples) < need:  # zero-pad short clips (:115-119)
+        samples = np.pad(samples, (0, need - len(samples)))
+    samples = samples[:need]
+    if rng is not None and cfg.noise_aug and noise_path is not None:
+        noise, _ = read_wav(noise_path, 0, need)
+        if len(noise) < need:
+            noise = np.pad(noise, (0, need - len(noise)))
+        snr_scale = float(rng.uniform(0.0, 0.3))
+        samples = samples + snr_scale * noise
+    t0 = start / fs
+    return samples.astype(np.float32), t0, info.duration
+
+
+def make_targets(logit_window: np.ndarray, cfg: BatchConfig) -> Dict[str, np.ndarray]:
+    """Loss-specific target dict for one sample (:28-44)."""
+    logits = logit_window[: cfg.num_pred_emotions].astype(np.float32)
+    max_label = int(np.argmax(logits))
+    out = {"max_label": np.int32(max_label)}
+    if cfg.loss_type in ("hot-cross-ent", "euclidean", "huber"):
+        out["logit_target"] = logits
+    if cfg.loss_type == "euclidean":
+        out["instance_weights"] = np.ones_like(logits)
+    return out
+
+
+class EmoVoxBatcher:
+    """Batched iterator over an EmoVoxImdb subset.
+
+    ``train=True`` draws random crops/augmentation from a per-epoch seeded
+    RNG (reproducible, the reference's rng-pinning discipline); val is
+    fully deterministic.
+    """
+
+    def __init__(self, imdb: EmoVoxImdb, cfg: BatchConfig, train: bool = True,
+                 seed: int = 0):
+        self.imdb = imdb
+        self.cfg = cfg
+        self.train = train
+        self.seed = seed
+
+    def epoch_indices(self, epoch: int, epoch_size: Optional[int] = None) -> np.ndarray:
+        """Shuffled (train) or in-order (val) indices; epoch_size subsamples
+        — the reference's mini-epoch mechanism (run_distillation.m:154)."""
+        n = self.imdb.num_tracks
+        if self.train:
+            rng = np.random.RandomState(self.seed + epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if epoch_size is not None:
+            idx = idx[:epoch_size]
+        return idx
+
+    def batches(self, epoch: int = 1, epoch_size: Optional[int] = None,
+                drop_remainder: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        idx = self.epoch_indices(epoch, epoch_size)
+        rng = np.random.RandomState(self.seed * 1000 + epoch) if self.train else None
+        wav_root = Path(self.imdb.wav_dir)
+        for i in range(0, len(idx), cfg.batch_size):
+            chunk = idx[i:i + cfg.batch_size]
+            if drop_remainder and len(chunk) < cfg.batch_size:
+                break
+            waves, targets = [], []
+            for j in chunk:
+                noise_path = None
+                if rng is not None and cfg.noise_aug:
+                    k = int(rng.randint(0, self.imdb.num_tracks))
+                    noise_path = str(wav_root / self.imdb.wav_paths[k])
+                samples, t0, _ = load_crop(
+                    str(wav_root / self.imdb.wav_paths[j]), cfg,
+                    rng=rng, noise_path=noise_path,
+                )
+                t1 = t0 + cfg.num_seconds
+                window = aggregate_logits(self.imdb.wav_logits[j], t0, t1,
+                                          cfg.logit_aggregator)
+                waves.append(samples)
+                targets.append(make_targets(window, cfg))
+            batch = {"data": np.stack(waves)}
+            for key in targets[0]:
+                batch[key] = np.stack([t[key] for t in targets])
+            yield batch
+
+
+def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
+                         tracks_per_speaker: int = 6, seed: int = 0,
+                         num_emotions: int = 8,
+                         duration_range=(4.2, 8.0),
+                         sample_rate: int = 16000) -> EmoVoxImdb:
+    """Synthetic mini EmoVoxCeleb: wav files + correlated fake teacher logits.
+
+    The reference's dev/smoke pattern (opts.dev / opts.limit,
+    SURVEY.md section 4.3) made first-class: each track's dominant
+    "emotion" drives both its tone content and its teacher logits, so
+    distillation on this imdb is learnable end-to-end in tests.
+    """
+    root = Path(root)
+    rng = np.random.RandomState(seed)
+    wav_paths, speakers, sets, all_logits = [], [], [], []
+    for s in range(num_speakers):
+        for t in range(tracks_per_speaker):
+            duration = float(rng.uniform(*duration_range))
+            n = int(duration * sample_rate)
+            emotion = int(rng.randint(0, num_emotions))
+            # tone frequency encodes the emotion; noise keeps it non-trivial
+            freq = 200.0 + 150.0 * emotion
+            tt = np.arange(n) / sample_rate
+            wave = (0.5 * np.sin(2 * np.pi * freq * tt)
+                    + 0.05 * rng.randn(n)).astype(np.float32)
+            rel = f"spk{s:03d}/track{t:03d}.wav"
+            from mcncrossmodalemotions_tpu.data.audio import write_wav
+
+            write_wav(root / rel, wave, sample_rate)
+            f = max(int(duration * LOGIT_FPS / LOGIT_STRIDE), 1)
+            logits = rng.randn(f, num_emotions).astype(np.float32) * 0.3
+            logits[:, emotion] += 4.0
+            wav_paths.append(rel)
+            speakers.append(f"spk{s:03d}")
+            # speakers 0..n-2: train + heardVal; last speaker: unheardVal
+            if s == num_speakers - 1:
+                sets.append(2)
+            else:
+                sets.append(3 if t == tracks_per_speaker - 1 else 1)
+            all_logits.append(logits)
+    from mcncrossmodalemotions_tpu import EMOTIONS
+
+    return EmoVoxImdb(
+        wav_paths=np.asarray(wav_paths, dtype=object),
+        speaker=np.asarray(speakers, dtype=object),
+        set_id=np.asarray(sets, np.int32),
+        wav_logits=all_logits,
+        wav_dir=str(root),
+        classes=EMOTIONS[:num_emotions],
+    )

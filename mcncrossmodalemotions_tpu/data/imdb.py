@@ -1,0 +1,185 @@
+"""Common imdb/manifest schemas (SURVEY.md section 2.3 contracts).
+
+The reference passes ``imdb`` structs between every component:
+
+- EmoVoxCeleb imdb (fetch_emovoxceleb_imdb.m): wav relpaths, speaker ids,
+  set splits {1 train, 2 unheardVal, 3 heardVal}, dense face-frame lists,
+  frame->wav registration, and per-wav teacher logit matrices.
+- FER+ imdb (ferplus_baselines.m:153-221): grayscale pixel array, hard
+  labels, 10-column rater vote counts, set splits.
+- External-dataset imdb (compute_audio_feats.m:91-98): per-track wav/frame
+  paths, labels, sets; feature dumps add per-track logits.
+
+Here each is a typed dataclass with npz round-trip serialisation
+(object arrays for ragged per-track data), replacing .mat files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# Set conventions (generateBaseImdb.m:47-64, student_stats.m:79-81)
+SET_TRAIN = 1
+SET_UNHEARD_VAL = 2
+SET_HEARD_VAL = 3
+
+# FER+ set conventions (ferplus_baselines.m:128-133)
+FER_TRAIN, FER_VAL, FER_TEST = 1, 2, 3
+
+
+def _save_npz(path: str | Path, arrays: Dict[str, np.ndarray], meta: dict) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez_compressed(tmp, __meta__=json.dumps(meta, default=str), **arrays)
+    tmp.replace(path)
+
+
+def _load_npz(path: str | Path):
+    data = np.load(path, allow_pickle=True)
+    meta = json.loads(str(data["__meta__"]))
+    return data, meta
+
+
+@dataclasses.dataclass
+class EmoVoxImdb:
+    """EmoVoxCeleb manifest: one row per wav track."""
+
+    wav_paths: np.ndarray          # [N] str relpaths
+    speaker: np.ndarray            # [N] str speaker ids
+    set_id: np.ndarray             # [N] int in {1,2,3}
+    wav_logits: List[np.ndarray]   # per wav: [F, 8] float32 teacher logits
+    dense_frames: Optional[List[np.ndarray]] = None  # per wav: frame relpaths
+    wav_dir: str = ""
+    classes: Sequence[str] = ()
+
+    def __post_init__(self):
+        assert len(self.wav_paths) == len(self.wav_logits)
+
+    @property
+    def num_tracks(self) -> int:
+        return len(self.wav_paths)
+
+    def subset(self, idx) -> "EmoVoxImdb":
+        idx = np.asarray(idx)
+        return EmoVoxImdb(
+            wav_paths=self.wav_paths[idx],
+            speaker=self.speaker[idx],
+            set_id=self.set_id[idx],
+            wav_logits=[self.wav_logits[i] for i in idx],
+            dense_frames=(
+                [self.dense_frames[i] for i in idx] if self.dense_frames else None
+            ),
+            wav_dir=self.wav_dir,
+            classes=self.classes,
+        )
+
+    def save(self, path: str | Path) -> None:
+        arrays = {
+            "wav_paths": np.asarray(self.wav_paths, dtype=object),
+            "speaker": np.asarray(self.speaker, dtype=object),
+            "set_id": np.asarray(self.set_id, np.int32),
+            "wav_logits": np.asarray(self.wav_logits, dtype=object),
+        }
+        if self.dense_frames is not None:
+            arrays["dense_frames"] = np.asarray(self.dense_frames, dtype=object)
+        _save_npz(path, arrays, {"wav_dir": self.wav_dir,
+                                 "classes": list(self.classes)})
+
+    @classmethod
+    def load(cls, path: str | Path) -> "EmoVoxImdb":
+        data, meta = _load_npz(path)
+        return cls(
+            wav_paths=data["wav_paths"],
+            speaker=data["speaker"],
+            set_id=data["set_id"],
+            wav_logits=list(data["wav_logits"]),
+            dense_frames=(
+                list(data["dense_frames"]) if "dense_frames" in data else None
+            ),
+            wav_dir=meta["wav_dir"],
+            classes=tuple(meta["classes"]),
+        )
+
+
+@dataclasses.dataclass
+class FerPlusImdb:
+    """FER2013+ manifest: pixel data + rater vote distributions."""
+
+    data: np.ndarray        # [N, H, W, 1] uint8 grayscale
+    hard_labels: np.ndarray  # [N] int (majority emotion)
+    votes: np.ndarray        # [N, 10] float rater votes (cols 8,9 = NF/unknown)
+    set_id: np.ndarray       # [N] int {1 train, 2 val, 3 test}
+    classes: Sequence[str] = ()
+
+    @property
+    def num_images(self) -> int:
+        return len(self.data)
+
+    def subset(self, idx) -> "FerPlusImdb":
+        idx = np.asarray(idx)
+        return FerPlusImdb(self.data[idx], self.hard_labels[idx],
+                           self.votes[idx], self.set_id[idx], self.classes)
+
+    def save(self, path: str | Path) -> None:
+        _save_npz(path, {
+            "data": self.data,
+            "hard_labels": self.hard_labels.astype(np.int32),
+            "votes": self.votes.astype(np.float32),
+            "set_id": self.set_id.astype(np.int32),
+        }, {"classes": list(self.classes)})
+
+    @classmethod
+    def load(cls, path: str | Path) -> "FerPlusImdb":
+        data, meta = _load_npz(path)
+        return cls(data["data"], data["hard_labels"], data["votes"],
+                   data["set_id"], tuple(meta["classes"]))
+
+
+@dataclasses.dataclass
+class TrackImdb:
+    """External benchmark manifest (RML/eNTERFACE/AFEW): one row per track."""
+
+    track_ids: np.ndarray                 # [N] str/int
+    labels: np.ndarray                    # [N] int dataset-native emotion ids
+    set_id: np.ndarray                    # [N] int (1 train / 2 val)
+    wav_paths: Optional[np.ndarray] = None      # [N] str (audio modality)
+    frame_paths: Optional[List[np.ndarray]] = None  # per track frame lists
+    logits: Optional[List[np.ndarray]] = None   # per track [F, 8] features
+    classes: Sequence[str] = ()
+
+    @property
+    def num_tracks(self) -> int:
+        return len(self.track_ids)
+
+    def save(self, path: str | Path) -> None:
+        arrays = {
+            "track_ids": np.asarray(self.track_ids, dtype=object),
+            "labels": np.asarray(self.labels, np.int32),
+            "set_id": np.asarray(self.set_id, np.int32),
+        }
+        if self.wav_paths is not None:
+            arrays["wav_paths"] = np.asarray(self.wav_paths, dtype=object)
+        if self.frame_paths is not None:
+            arrays["frame_paths"] = np.asarray(self.frame_paths, dtype=object)
+        if self.logits is not None:
+            arrays["logits"] = np.asarray(self.logits, dtype=object)
+        _save_npz(path, arrays, {"classes": list(self.classes)})
+
+    @classmethod
+    def load(cls, path: str | Path) -> "TrackImdb":
+        data, meta = _load_npz(path)
+        return cls(
+            track_ids=data["track_ids"],
+            labels=data["labels"],
+            set_id=data["set_id"],
+            wav_paths=data.get("wav_paths"),
+            frame_paths=list(data["frame_paths"]) if "frame_paths" in data else None,
+            logits=list(data["logits"]) if "logits" in data else None,
+            classes=tuple(meta["classes"]),
+        )

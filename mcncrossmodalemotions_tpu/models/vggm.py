@@ -1,0 +1,152 @@
+"""VGG-M ("VGGVox"-style) speech student network, TPU-first Flax module.
+
+Capability parity with the reference's ``emovoxceleb-student`` model
+(emoVoxZoo.m:25-31; architecture lives in the released .mat, a VGGVox
+VGG-M audio CNN over 512 x (100*seconds) x 1 spectrograms with a
+duration-dependent temporal average pool `pool6` — emoVoxZoo.m:256-269,
+compute_audio_feats.m:45-46,116-126).
+
+TPU-native redesign decisions:
+
+- **Masked temporal mean-pool replaces dynamic graph surgery.** The
+  reference swaps ``pool6.poolSize=[1 p]`` per duration bucket (a dynamic
+  per-sample graph mutation — compute_audio_feats.m:121-125). Here the
+  module computes a mean over *valid* temporal positions derived from
+  ``valid_frames`` (the unpadded spectrogram length), so one compiled
+  graph serves every duration bucket with static shapes.
+- NHWC layout ([B, F=512, T, 1]) so convolutions map directly onto the
+  MXU; compute in bfloat16 with fp32 params and fp32 pooling/head.
+- BatchNorm after every conv (VGGVox convention), fused by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# (kernel_h, kernel_w, stride_h, stride_w) per conv; pools interleaved below.
+_CONV_DEFS = (
+    dict(features=96, kernel=(7, 7), stride=(2, 2)),
+    dict(features=256, kernel=(5, 5), stride=(2, 2)),
+    dict(features=384, kernel=(3, 3), stride=(1, 1), pad="SAME"),
+    dict(features=256, kernel=(3, 3), stride=(1, 1), pad="SAME"),
+    dict(features=256, kernel=(3, 3), stride=(1, 1), pad="SAME"),
+)
+
+
+def _floor_out(size, kernel, stride):
+    """VALID conv/pool output size; works on ints and traced arrays."""
+    return (size - kernel) // stride + 1
+
+
+def temporal_valid_frames(w, same_pad_convs: bool = True):
+    """Map valid input spectrogram frames -> valid columns at fc6 output.
+
+    Mirrors the conv-stack arithmetic of ``VGGMStudent`` below: conv1 s2,
+    mpool1 3/2, conv2 s2, mpool2 3/2, (conv3-5 SAME), mpool5 3/2 in time.
+    For the reference 4 s crop (400 frames) this yields 11 — the same
+    temporal extent the reference pools with ``pool6=[1 11]``
+    (emoVoxZoo.m:256-269 bucket table).
+    """
+    w = _floor_out(w, 7, 2)   # conv1
+    w = _floor_out(w, 3, 2)   # mpool1
+    w = _floor_out(w, 5, 2)   # conv2
+    w = _floor_out(w, 3, 2)   # mpool2
+    w = _floor_out(w, 3, 2)   # mpool5 (time stride 2)
+    return w
+
+
+class VGGMStudent(nn.Module):
+    """VGG-M audio emotion student.
+
+    Input: spectrogram [B, 512, T, 1] (freq-major, instance-normalised).
+    Output: logits [B, num_outputs] (plus the 1024-d embedding via
+    ``capture_intermediates`` or ``return_embedding``).
+    """
+
+    num_outputs: int = 8
+    fc6_features: int = 4096
+    fc7_features: int = 1024
+    dropout_rate: float = 0.0
+    use_batchnorm: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    head_init_scale: float = 1e-4  # reference scratch head init (emoVoxZoo.m:210-243)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False,
+                 valid_frames: Optional[jax.Array] = None,
+                 return_embedding: bool = False):
+        conv_kw = dict(
+            use_bias=not self.use_batchnorm,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        x = x.astype(self.dtype)
+
+        def bn_relu(h, name):
+            if self.use_batchnorm:
+                h = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"bn{name}",
+                )(h)
+            return nn.relu(h)
+
+        # conv1 .. conv5 with interleaved max-pools (VGGVox VGG-M stack)
+        x = nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID", name="conv1", **conv_kw)(x)
+        x = bn_relu(x, "1")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = nn.Conv(256, (5, 5), strides=(2, 2), padding="VALID", name="conv2", **conv_kw)(x)
+        x = bn_relu(x, "2")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = nn.Conv(384, (3, 3), padding="SAME", name="conv3", **conv_kw)(x)
+        x = bn_relu(x, "3")
+        x = nn.Conv(256, (3, 3), padding="SAME", name="conv4", **conv_kw)(x)
+        x = bn_relu(x, "4")
+        x = nn.Conv(256, (3, 3), padding="SAME", name="conv5", **conv_kw)(x)
+        x = bn_relu(x, "5")
+        x = nn.max_pool(x, (5, 3), strides=(3, 2), padding="VALID")
+
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+
+        # fc6: 9x1 conv collapses the frequency axis -> [B, 1, T', 4096]
+        x = nn.Conv(self.fc6_features, (x.shape[1], 1), padding="VALID",
+                    name="fc6", **conv_kw)(x)
+        x = bn_relu(x, "6")
+
+        # pool6: masked temporal mean (replaces per-bucket poolSize surgery)
+        x = x.astype(jnp.float32)
+        t_out = x.shape[2]
+        if valid_frames is None:
+            x = jnp.mean(x, axis=(1, 2))  # [B, C]
+        else:
+            valid = temporal_valid_frames(jnp.asarray(valid_frames))
+            valid = jnp.clip(valid, 1, t_out)
+            mask = (jnp.arange(t_out)[None, :] < valid[:, None]).astype(x.dtype)
+            x = jnp.sum(x[:, 0] * mask[:, :, None], axis=1) / valid[:, None].astype(x.dtype)
+
+        embedding = x  # pre-fc7 4096-d pooled features
+        x = nn.Dense(self.fc7_features, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc7")(x.astype(self.dtype))
+        x = nn.relu(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        embedding = x.astype(jnp.float32)
+
+        logits = nn.Dense(
+            self.num_outputs,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.normal(self.head_init_scale),
+            name="prediction",
+        )(x.astype(jnp.float32))
+        if return_embedding:
+            return logits, embedding
+        return logits

@@ -1,0 +1,73 @@
+"""Device mesh + data-parallel sharding helpers.
+
+The reference's entire parallelism story is synchronous data parallelism
+via MATLAB SPMD workers + a ParameterServer summing gradients
+(run_distillation.m:88,179,181; SURVEY.md section 2.2). The TPU-native
+equivalent: a 1-D ``jax.sharding.Mesh`` over the chips ('data' axis),
+batches sharded along it, params replicated; pjit-compiled steps let XLA
+insert the gradient ``psum`` over ICI — no explicit server. Multi-host
+scale-out over DCN composes via ``jax.distributed.initialize`` with the
+same annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over ICI.
+
+    ``num_devices=None`` uses every visible device. For tests, set
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=N`` to fake an
+    N-chip mesh on CPU (SURVEY.md section 4 rebuild implication (d)).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    spec = [None] * (axis + 1)
+    spec[axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch dict on the mesh, sharded over the batch dim."""
+    sharding = batch_sharding(mesh)
+    return jax.device_put(batch, sharding)
+
+
+def pad_to_multiple(batch: Dict[str, np.ndarray], multiple: int,
+                    pad_key: str = "data"):
+    """Pad the batch dim to a device-count multiple; returns (batch, n_valid).
+
+    Static shapes are mandatory under jit; ragged final batches are padded
+    and the valid count carried for correct metric weighting.
+    """
+    n = batch[pad_key].shape[0]
+    remainder = n % multiple
+    if remainder == 0:
+        return batch, n
+    pad = multiple - remainder
+    padded = {
+        k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n else v
+        for k, v in batch.items()
+    }
+    return padded, n

@@ -1,0 +1,109 @@
+"""Atomic epoch checkpoints with resume and best-epoch selection.
+
+Rebuilds the reference's checkpoint story (SURVEY.md section 5.4):
+``expDir/net-epoch-N.mat`` per epoch with ``continue`` resume from latest
+(run_distillation.m:72,177-178), upgraded with atomic writes + last-good
+fallback (the reference's known corrupted-checkpoint weakness —
+run_distillation.m:169), and ``findBestEpoch(priorityMetric, prune)``
+(ferplus_baselines.m:121-126).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import flax.serialization
+import jax
+
+_CKPT_RE = re.compile(r"net-epoch-(\d+)\.msgpack$")
+
+
+def checkpoint_path(exp_dir: str | Path, epoch: int) -> Path:
+    return Path(exp_dir) / f"net-epoch-{epoch}.msgpack"
+
+
+def save_checkpoint(exp_dir: str | Path, epoch: int, state: Any,
+                    metrics: Optional[dict] = None) -> Path:
+    """Atomically write epoch checkpoint (tmp + rename) and metrics sidecar."""
+    exp_dir = Path(exp_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    path = checkpoint_path(exp_dir, epoch)
+    blob = flax.serialization.to_bytes(jax.device_get(state))
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(blob)
+    os.replace(tmp, path)  # atomic on POSIX
+    if metrics is not None:
+        mpath = path.with_suffix(".json")
+        mtmp = mpath.with_suffix(".json.tmp")
+        mtmp.write_text(json.dumps(metrics, default=float))
+        os.replace(mtmp, mpath)
+    return path
+
+
+def list_checkpoints(exp_dir: str | Path) -> list[Tuple[int, Path]]:
+    exp_dir = Path(exp_dir)
+    if not exp_dir.exists():
+        return []
+    found = []
+    for p in exp_dir.iterdir():
+        m = _CKPT_RE.search(p.name)
+        if m:
+            found.append((int(m.group(1)), p))
+    return sorted(found)
+
+
+def load_checkpoint(path: Path, target: Any) -> Any:
+    """Restore a state pytree from ``path`` into the structure of ``target``."""
+    return flax.serialization.from_bytes(target, Path(path).read_bytes())
+
+
+def load_latest(exp_dir: str | Path, target: Any) -> Tuple[int, Any]:
+    """Resume from the newest readable checkpoint (last-good fallback).
+
+    Returns (epoch, state); (0, target) if none exists. A corrupt latest
+    checkpoint falls back to the previous one instead of crashing — the
+    failure mode the reference worked around with cnn_train_dag_check2
+    (run_distillation.m:169).
+    """
+    for epoch, path in reversed(list_checkpoints(exp_dir)):
+        try:
+            return epoch, load_checkpoint(path, target)
+        except Exception as exc:  # corrupted checkpoint: try older
+            print(f"warning: checkpoint {path} unreadable ({exc}); falling back")
+    return 0, target
+
+
+def find_best_epoch(exp_dir: str | Path, priority_metric: str = "classerror",
+                    mode: str = "min", subset: str = "val",
+                    prune: bool = False) -> Optional[int]:
+    """Pick the epoch whose ``subset`` metrics optimise ``priority_metric``.
+
+    mcnDatasets ``findBestEpoch('priorityMetric','classerror','prune',true)``
+    equivalent (ferplus_baselines.m:121-126). With ``prune=True`` all other
+    epochs' checkpoints are deleted.
+    """
+    best_epoch, best_value = None, None
+    ckpts = list_checkpoints(exp_dir)
+    for epoch, path in ckpts:
+        mpath = path.with_suffix(".json")
+        if not mpath.exists():
+            continue
+        metrics = json.loads(mpath.read_text())
+        value = metrics.get(subset, {}).get(priority_metric)
+        if value is None:
+            continue
+        better = best_value is None or (
+            value < best_value if mode == "min" else value > best_value
+        )
+        if better:
+            best_epoch, best_value = epoch, value
+    if prune and best_epoch is not None:
+        for epoch, path in ckpts:
+            if epoch != best_epoch:
+                path.unlink(missing_ok=True)
+                path.with_suffix(".json").unlink(missing_ok=True)
+    return best_epoch

@@ -1,0 +1,236 @@
+"""Epoch-loop training engine (``cnn_train_dag`` equivalent).
+
+Orchestrates: per-epoch LR schedule arrays, epochSize subsampling
+("mini-epochs", run_distillation.m:77,154), separate train/val passes,
+running loss averages + per-class accuracy/population stats
+(extractStatsFn hook, run_distillation.m:186-207), per-epoch atomic
+checkpoints with ``continue`` resume (train/checkpoints.py), and JSONL
+metrics logging. The compute path is the jitted step from train/state.py;
+under a mesh the batch is sharded over the 'data' axis (parallel/mesh.py)
+and XLA reduces gradients over ICI.
+
+The reference signature ``cnn_train_dag(net, imdb, getBatch, opts)``
+(run_distillation.m:170-182) maps to ``Trainer(model, loss_fn, cfg)`` +
+``trainer.fit(batcher)`` where ``batcher`` yields host batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcncrossmodalemotions_tpu.train import checkpoints as ckpt_lib
+from mcncrossmodalemotions_tpu.train.state import (
+    LossFn,
+    SGDConfig,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from mcncrossmodalemotions_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """cnn_train_dag options (run_distillation.m:71-89 defaults)."""
+
+    num_epochs: int = 300
+    batch_size: int = 64
+    learning_rate: Sequence[float] | float = 1e-4
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    epoch_size: Optional[int] = None  # samples per "mini-epoch"; None = all
+    seed: int = 0
+    exp_dir: str = "exp"
+    resume: bool = True  # the reference's 'continue' option
+    checkpoint_every: int = 1
+    log_every: int = 20
+
+
+def lr_for_epoch(cfg: TrainConfig, epoch: int) -> float:
+    """Index the per-epoch LR array (1-based epochs, MATLAB convention)."""
+    lr = cfg.learning_rate
+    if isinstance(lr, (int, float)):
+        return float(lr)
+    return float(lr[min(epoch - 1, len(lr) - 1)])
+
+
+def logspace_lr(start_exp: float, stop_exp: float, num: int) -> tuple:
+    """``logspace(-4, -5, numEpochs)`` equivalent (run_distillation.m:82)."""
+    return tuple(np.logspace(start_exp, stop_exp, num).tolist())
+
+
+class MetricAverager:
+    """Running batch-weighted averages + summed per-class stat vectors."""
+
+    def __init__(self):
+        self.sums: Dict[str, np.ndarray] = {}
+        self.count = 0
+
+    def update(self, metrics: Dict[str, Any], batch_size: int) -> None:
+        self.count += batch_size
+        for key, value in metrics.items():
+            value = np.asarray(jax.device_get(value), np.float64)
+            if value.ndim == 0:
+                value = value * batch_size  # mean metric -> weighted sum
+            self.sums[key] = self.sums.get(key, 0.0) + value
+
+    def result(self) -> Dict[str, Any]:
+        out = {}
+        for key, value in self.sums.items():
+            if np.ndim(value) == 0:
+                out[key] = float(value / max(self.count, 1))
+            else:
+                out[key] = value  # summed vectors (e.g. per-class counts)
+        return out
+
+
+def summarize_class_stats(result: Dict[str, Any], class_names: Sequence[str]) -> Dict[str, float]:
+    """ErrorStats flattening: meanAcc, per-emotion acc, per-emotion population
+    share (run_distillation.m:186-207 extractStats equivalent)."""
+    out = {k: v for k, v in result.items() if np.ndim(v) == 0}
+    correct = result.get("class_correct")
+    pop = result.get("class_pop")
+    if correct is not None and pop is not None:
+        acc = np.divide(correct, np.maximum(pop, 1.0))
+        present = pop > 0
+        out["meanAcc"] = float(acc[present].mean()) if present.any() else 0.0
+        total = max(pop.sum(), 1.0)
+        for i, name in enumerate(class_names):
+            out[name] = float(acc[i])
+            out[f"{name}Pop"] = float(pop[i] / total)
+    return out
+
+
+class Trainer:
+    """Epoch orchestrator around the jitted train/eval steps."""
+
+    def __init__(self, model, loss_fn: LossFn, cfg: TrainConfig,
+                 class_names: Sequence[str] = (),
+                 mesh=None, has_dropout: bool = False,
+                 eval_loss_fn: Optional[LossFn] = None):
+        self.model = model
+        self.cfg = cfg
+        self.class_names = class_names
+        self.mesh = mesh
+        sgd = SGDConfig(momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+        has_bs = True
+        self._train_step = make_train_step(model.apply, loss_fn, sgd,
+                                           has_batch_stats=has_bs,
+                                           has_dropout=has_dropout)
+        self._eval_step = make_eval_step(model.apply, eval_loss_fn or loss_fn)
+        if mesh is not None:
+            from mcncrossmodalemotions_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            rep = replicated_sharding(mesh)
+            data = batch_sharding(mesh)
+            self._train_step = jax.jit(
+                self._train_step,
+                in_shardings=(rep, data, None),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                self._eval_step, in_shardings=(rep, data), out_shardings=rep
+            )
+            self._shard_batch = lambda b: jax.device_put(b, data)
+        else:
+            self._train_step = jax.jit(self._train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(self._eval_step)
+            self._shard_batch = lambda b: b
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        init_rng, state_rng = jax.random.split(rng)
+        variables = self.model.init(init_rng, jnp.asarray(example_batch["data"]))
+        return TrainState.create(variables, state_rng)
+
+    # -- epochs -----------------------------------------------------------
+    def run_epoch(self, state: TrainState, batches: Iterable[Dict[str, np.ndarray]],
+                  epoch: int, train: bool = True):
+        """One pass; returns (state, stats dict). ``batches`` yields dicts of
+        numpy arrays with at least 'data'."""
+        avg = MetricAverager()
+        lr = lr_for_epoch(self.cfg, epoch)
+        t0 = time.monotonic()
+        n_batches = 0
+        for batch in batches:
+            bsz = int(np.shape(batch["data"])[0])
+            device_batch = self._shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}
+            )
+            if train:
+                state, metrics = self._train_step(state, device_batch, lr)
+            else:
+                metrics = self._eval_step(state, device_batch)
+            avg.update(metrics, bsz)
+            n_batches += 1
+            if n_batches % self.cfg.log_every == 0:
+                elapsed = time.monotonic() - t0
+                hz = avg.count / max(elapsed, 1e-9)
+                mode = "train" if train else "val"
+                print(
+                    f"epoch {epoch} [{mode}] batch {n_batches}: "
+                    f"loss={float(np.asarray(jax.device_get(metrics['loss']))):.4f} "
+                    f"({hz:.1f} samples/s)",
+                    flush=True,
+                )
+        stats = summarize_class_stats(avg.result(), self.class_names)
+        stats["samples_per_sec"] = avg.count / max(time.monotonic() - t0, 1e-9)
+        stats["num_samples"] = avg.count
+        return state, stats
+
+    def fit(self, train_batches_fn: Callable[[int], Iterable],
+            val_batches_fn: Optional[Callable[[int], Iterable]] = None,
+            state: Optional[TrainState] = None,
+            example_batch: Optional[Dict[str, np.ndarray]] = None):
+        """Full training run with resume; returns (state, history).
+
+        ``train_batches_fn(epoch)`` / ``val_batches_fn(epoch)`` build the
+        per-epoch batch iterators (the getBatch + epochSize subsampling
+        logic lives in the data layer).
+        """
+        cfg = self.cfg
+        if state is None:
+            assert example_batch is not None
+            state = self.init_state(example_batch)
+        start_epoch = 1
+        if cfg.resume:
+            last, state = ckpt_lib.load_latest(cfg.exp_dir, state)
+            start_epoch = last + 1
+        logger = MetricsLogger(Path(cfg.exp_dir) / "metrics.jsonl")
+        history = []
+        for epoch in range(start_epoch, cfg.num_epochs + 1):
+            state, train_stats = self.run_epoch(
+                state, train_batches_fn(epoch), epoch, train=True
+            )
+            record = {"epoch": epoch, "lr": lr_for_epoch(cfg, epoch),
+                      "train": train_stats}
+            if val_batches_fn is not None:
+                state, val_stats = self.run_epoch(
+                    state, val_batches_fn(epoch), epoch, train=False
+                )
+                record["val"] = val_stats
+            logger.log(record)
+            history.append(record)
+            if epoch % cfg.checkpoint_every == 0 or epoch == cfg.num_epochs:
+                ckpt_lib.save_checkpoint(cfg.exp_dir, epoch, state, record)
+            print(
+                f"epoch {epoch}/{cfg.num_epochs} done: "
+                + " ".join(
+                    f"{k}={v:.4f}" for k, v in train_stats.items()
+                    if isinstance(v, float) and k in ("loss", "meanAcc", "classerror")
+                ),
+                flush=True,
+            )
+        return state, history

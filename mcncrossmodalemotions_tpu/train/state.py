@@ -1,0 +1,133 @@
+"""Train state + jitted SGD-momentum step (cnn_train_dag's inner loop).
+
+The reference's update rule (MatConvNet cnn_train_dag, invoked at
+run_distillation.m:170-182 / ferplus_baselines.m:140-141):
+
+    momentum <- m * momentum - lr * (grad + weight_decay * param)
+    param    <- param + momentum
+
+reproduced here as a pure jitted step over an explicit TrainState pytree.
+Under a data mesh (parallel/mesh.py) the same step is pjit-compiled with
+the batch sharded over the 'data' axis and params replicated; XLA inserts
+the gradient psum over ICI — the TPU-native replacement for the MATLAB
+ParameterServer ('tmove'/'mmap', run_distillation.m:88,181).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SGDConfig:
+    """Optimizer hyperparameters (cnn_train_dag defaults)."""
+
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Pure pytree training state: params, BN stats, momentum, bookkeeping."""
+
+    params: Any
+    model_state: Any  # {'batch_stats': ...} collections (empty dict if none)
+    velocity: Any
+    step: jax.Array
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, variables: Dict[str, Any], rng: jax.Array) -> "TrainState":
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        velocity = jax.tree.map(jnp.zeros_like, params)
+        return cls(
+            params=params,
+            model_state=model_state,
+            velocity=velocity,
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, **self.model_state}
+
+
+# A LossFn maps (model outputs, batch dict) -> (scalar loss, metrics dict).
+LossFn = Callable[[Any, Dict[str, jax.Array]], Tuple[jax.Array, Dict[str, jax.Array]]]
+
+
+def make_train_step(apply_fn: Callable, loss_fn: LossFn,
+                    sgd: SGDConfig = SGDConfig(),
+                    has_batch_stats: bool = True,
+                    has_dropout: bool = False):
+    """Build the jitted SGD+momentum train step.
+
+    ``apply_fn(variables, data, train=..., mutable=..., rngs=...)`` is a
+    Flax ``model.apply``; ``loss_fn`` computes loss+metrics from outputs.
+    Returns ``step(state, batch, lr) -> (state, metrics)``; ``lr`` is a
+    scalar so per-epoch LR arrays (run_distillation.m:82
+    ``logspace(-4,-5,300)``) need no recompilation.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], lr) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        apply_kwargs = {}
+        if has_dropout:
+            apply_kwargs["rngs"] = {"dropout": step_rng}
+
+        def compute(params):
+            if has_batch_stats:
+                outputs, new_model_state = apply_fn(
+                    {"params": params, **state.model_state},
+                    batch["data"],
+                    train=True,
+                    mutable=["batch_stats"],
+                    **apply_kwargs,
+                )
+            else:
+                outputs = apply_fn({"params": params}, batch["data"], train=True,
+                                   **apply_kwargs)
+                new_model_state = state.model_state
+            loss, metrics = loss_fn(outputs, batch)
+            return loss, (metrics, new_model_state)
+
+        (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+
+        def update(v, g, p):
+            g = g.astype(jnp.float32)
+            new_v = sgd.momentum * v - lr * (g + sgd.weight_decay * p)
+            return new_v
+
+        velocity = jax.tree.map(update, state.velocity, grads, state.params)
+        params = jax.tree.map(lambda p, v: p + v, state.params, velocity)
+        metrics = dict(metrics, loss=loss)
+        new_state = state.replace(
+            params=params,
+            model_state=new_model_state,
+            velocity=velocity,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(apply_fn: Callable, loss_fn: LossFn):
+    """Build the jitted eval step: forward in test mode + metrics."""
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        outputs = apply_fn(state.variables, batch["data"], train=False)
+        loss, metrics = loss_fn(outputs, batch)
+        return dict(metrics, loss=loss)
+
+    return step

@@ -1,0 +1,125 @@
+"""Config system: nested dataclass options with dotted-path overrides.
+
+Rebuilds the reference's uniform ``opts.<field> = default; opts =
+vl_argparse(opts, varargin)`` pattern (e.g. run_distillation.m:71-90,
+benchmark_ferplus_models.m:46-54 with dotted overrides like
+``'evaluateOnly.subset'``) as a typed dataclass tree plus
+``parse_overrides`` for both programmatic kwargs and CLI ``a.b.c=value``
+strings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping, Sequence
+
+
+def is_config(obj: Any) -> bool:
+    return dataclasses.is_dataclass(obj) and not isinstance(obj, type)
+
+
+def _coerce(value: Any, target: Any) -> Any:
+    """Coerce ``value`` (possibly a CLI string) to the type of ``target``."""
+    if value is None or target is None:
+        return value
+    if isinstance(value, str) and not isinstance(target, str):
+        if isinstance(target, bool):
+            low = value.lower()
+            if low in ("1", "true", "yes", "on"):
+                return True
+            if low in ("0", "false", "no", "off"):
+                return False
+            raise ValueError(f"cannot parse bool from {value!r}")
+        if isinstance(target, int) and not isinstance(target, bool):
+            return int(value)
+        if isinstance(target, float):
+            return float(value)
+        if isinstance(target, (list, tuple)):
+            parsed = json.loads(value)
+            return type(target)(parsed)
+        return value
+    if isinstance(target, tuple) and isinstance(value, list):
+        return tuple(value)
+    return value
+
+
+def override(cfg: Any, path: str, value: Any) -> Any:
+    """Return a copy of dataclass tree ``cfg`` with ``path`` set to ``value``.
+
+    ``path`` is a dotted field path, e.g. ``"train.batch_size"``
+    (the reference's ``'train.batchSize'`` — benchmark_ferplus_models.m:46-54).
+    """
+    head, _, rest = path.partition(".")
+    if not hasattr(cfg, head):
+        raise AttributeError(
+            f"{type(cfg).__name__} has no option {head!r} "
+            f"(valid: {[f.name for f in dataclasses.fields(cfg)]})"
+        )
+    current = getattr(cfg, head)
+    if rest:
+        if not is_config(current):
+            raise AttributeError(f"{head!r} is a leaf option; cannot descend into {rest!r}")
+        new_value = override(current, rest, value)
+    else:
+        new_value = _coerce(value, current) if not is_config(current) else value
+    return dataclasses.replace(cfg, **{head: new_value})
+
+
+def parse_overrides(cfg: Any, *args: str, **kwargs: Any) -> Any:
+    """Apply overrides to a dataclass config tree.
+
+    Positional args are CLI-style ``"a.b=value"`` strings; kwargs use
+    ``__`` as the path separator (``train__batch_size=32``).
+    """
+    for arg in args:
+        if "=" not in arg:
+            raise ValueError(f"override {arg!r} is not of the form path=value")
+        path, _, value = arg.partition("=")
+        cfg = override(cfg, path.strip(), value.strip())
+    for key, value in kwargs.items():
+        cfg = override(cfg, key.replace("__", "."), value)
+    return cfg
+
+
+def to_dict(cfg: Any) -> Any:
+    """Recursively convert a dataclass config tree to plain dicts."""
+    if is_config(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def struct2str(cfg: Any, indent: int = 0) -> str:
+    """Pretty-print a config tree, one ``key: value`` per line.
+
+    Equivalent of ``third_party/struct2str.m`` used by the metadata dump
+    at run_distillation.m:233.
+    """
+    d = to_dict(cfg) if is_config(cfg) else cfg
+    lines = []
+    pad = "  " * indent
+    if isinstance(d, Mapping):
+        for key, value in d.items():
+            if isinstance(value, Mapping):
+                lines.append(f"{pad}{key}:")
+                lines.append(struct2str(value, indent + 1))
+            else:
+                lines.append(f"{pad}{key}: {value!r}")
+    else:
+        lines.append(f"{pad}{d!r}")
+    return "\n".join(lines)
+
+
+def config_hash(cfg: Any) -> str:
+    """Stable short hash of a config tree, for experiment-dir naming.
+
+    The reference encodes experiment identity in a hand-built directory
+    name (run_distillation.m:95-105); we append a config hash so distinct
+    configs can never collide.
+    """
+    import hashlib
+
+    blob = json.dumps(to_dict(cfg), sort_keys=True, default=repr).encode()
+    return hashlib.sha1(blob).hexdigest()[:10]

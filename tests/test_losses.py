@@ -1,0 +1,95 @@
+"""Loss library vs hand computations (SURVEY.md section 4 rebuild implication (a))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcncrossmodalemotions_tpu.losses import (
+    class_error,
+    distillation_ce,
+    distribution_ce,
+    euclidean_loss,
+    huber_loss,
+    per_class_stats,
+    softmax_ce,
+    softmax_t,
+)
+
+
+def _np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_softmax_t(rng):
+    x = rng.randn(4, 8).astype(np.float32)
+    got = np.asarray(softmax_t(jnp.asarray(x), temperature=2.0))
+    np.testing.assert_allclose(got, _np_softmax(x / 2.0), rtol=1e-5)
+
+
+def test_distillation_ce_hand_computed(rng):
+    s = rng.randn(5, 8).astype(np.float32)
+    t = rng.randn(5, 8).astype(np.float32)
+    temp = 2.0
+    got = float(distillation_ce(jnp.asarray(s), jnp.asarray(t), temp))
+    p = _np_softmax(t / temp)
+    logq = np.log(_np_softmax(s / temp))
+    expected = -np.mean(np.sum(p * logq, axis=-1))
+    assert abs(got - expected) < 1e-5
+
+
+def test_distillation_ce_gradient_direction(rng):
+    """Gradient should pull student logits toward teacher distribution."""
+    t = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    s = jnp.zeros((3, 8))
+    g = jax.grad(lambda s_: distillation_ce(s_, t))(s)
+    # grad = (softmax(s/T) - softmax(t/T)) / (T * B): uniform minus target
+    expected = (np.full((3, 8), 1 / 8) - _np_softmax(np.asarray(t) / 2.0)) / (2.0 * 3)
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
+
+
+def test_distribution_ce_equals_softmaxlog_on_onehot(rng):
+    logits = rng.randn(6, 8).astype(np.float32)
+    labels = rng.randint(0, 8, 6)
+    one_hot = np.eye(8, dtype=np.float32)[labels]
+    a = float(distribution_ce(jnp.asarray(logits), jnp.asarray(one_hot)))
+    b = float(softmax_ce(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(a - b) < 1e-5
+
+
+def test_euclidean_loss_matlab_convention(rng):
+    p = rng.randn(4, 8).astype(np.float32)
+    t = rng.randn(4, 8).astype(np.float32)
+    got = float(euclidean_loss(jnp.asarray(p), jnp.asarray(t)))
+    expected = 0.5 * np.mean(np.sum((p - t) ** 2, axis=-1))
+    assert abs(got - expected) < 1e-5
+
+
+def test_euclidean_loss_instance_weights(rng):
+    p = rng.randn(4, 8).astype(np.float32)
+    t = rng.randn(4, 8).astype(np.float32)
+    w = np.zeros((4, 8), np.float32)
+    assert float(euclidean_loss(jnp.asarray(p), jnp.asarray(t), jnp.asarray(w))) == 0.0
+
+
+def test_huber_quadratic_and_linear_regions():
+    p = jnp.asarray([[0.5, 3.0]])
+    t = jnp.zeros((1, 2))
+    got = float(huber_loss(p, t, sigma=1.0))
+    expected = 0.5 * 0.5 ** 2 + (3.0 - 0.5)
+    assert abs(got - expected) < 1e-6
+
+
+def test_class_error():
+    logits = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+    labels = jnp.asarray([0, 1, 1])
+    assert float(class_error(logits, labels)) == pytest.approx(1.0 / 3.0)
+
+
+def test_per_class_stats():
+    logits = jnp.asarray([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    labels = jnp.asarray([0, 1, 1])
+    correct, pop = per_class_stats(logits, labels, 2)
+    np.testing.assert_array_equal(np.asarray(pop), [1.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(correct), [1.0, 1.0])

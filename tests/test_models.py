@@ -1,0 +1,111 @@
+"""Model architecture tests (shapes, masked pooling, tiny configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcncrossmodalemotions_tpu.models import (
+    ResNet,
+    SENet50,
+    VGGMStudent,
+    temporal_valid_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def student():
+    model = VGGMStudent(fc6_features=64, fc7_features=32)
+    x = jnp.zeros((1, 512, 400, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_student_output_shape(student):
+    model, variables = student
+    logits = model.apply(variables, jnp.zeros((2, 512, 400, 1)))
+    assert logits.shape == (2, 8)
+    assert logits.dtype == jnp.float32
+
+
+def test_temporal_valid_frames_bucket_parity():
+    """4 s (400-frame) input pools over 11 temporal positions, matching the
+    reference's pool6=[1 11] bucket entry (emoVoxZoo.m:256-269)."""
+    assert temporal_valid_frames(400) == 11
+    assert temporal_valid_frames(300) == 8
+
+
+def test_masked_pool_equals_trimmed_forward(student):
+    """The masked-mean pool on padded input must equal a forward on the
+    trimmed input — the static-shape replacement for the reference's
+    per-sample poolSize surgery (compute_audio_feats.m:121-125)."""
+    model, variables = student
+    rng = np.random.RandomState(0)
+    spec_300 = rng.randn(1, 512, 300, 1).astype(np.float32)
+    padded = np.zeros((1, 512, 400, 1), np.float32)
+    padded[:, :, :300] = spec_300
+    out_trim = model.apply(variables, jnp.asarray(spec_300))
+    out_mask = model.apply(
+        variables, jnp.asarray(padded), valid_frames=jnp.asarray([300])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_trim), np.asarray(out_mask), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_student_batch_independence(student):
+    """Samples in a batch must not leak into each other (test mode)."""
+    model, variables = student
+    rng = np.random.RandomState(1)
+    a = rng.randn(1, 512, 400, 1).astype(np.float32)
+    b = rng.randn(1, 512, 400, 1).astype(np.float32)
+    out_a = model.apply(variables, jnp.asarray(a))
+    out_ab = model.apply(variables, jnp.asarray(np.concatenate([a, b])))
+    np.testing.assert_allclose(np.asarray(out_a)[0], np.asarray(out_ab)[0], atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_resnet():
+    model = ResNet(stage_sizes=(1, 1), width=8, use_se=True, num_outputs=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_tiny_senet_forward(tiny_resnet):
+    model, variables = tiny_resnet
+    logits = model.apply(variables, jnp.zeros((2, 64, 64, 3)))
+    assert logits.shape == (2, 8)
+
+
+def test_senet_train_mode_updates_batch_stats(tiny_resnet):
+    model, variables = tiny_resnet
+    x = jnp.ones((2, 64, 64, 3))
+    _, new_state = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(new_state["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(o), np.asarray(n)) for o, n in zip(old, new)
+    )
+
+
+def test_se_block_gating(tiny_resnet):
+    """SE gate in (0,1): output magnitude never exceeds un-gated input."""
+    from mcncrossmodalemotions_tpu.models import SEBlock
+
+    block = SEBlock(features=16)
+    x = jnp.ones((1, 4, 4, 16))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    y = block.apply(variables, x)
+    assert np.all(np.abs(np.asarray(y)) <= 1.0 + 1e-6)
+
+
+def test_embedding_output(student):
+    model, variables = student
+    logits, emb = model.apply(
+        variables, jnp.zeros((2, 512, 400, 1)), return_embedding=True
+    )
+    assert logits.shape == (2, 8)
+    assert emb.shape == (2, 32)

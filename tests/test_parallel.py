@@ -1,0 +1,114 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU mesh.
+
+The reference's multi-GPU story (SPMD + ParameterServer) had no testable
+fake backend (SURVEY.md section 4.7); here DP runs identically on a fake
+mesh via xla_force_host_platform_device_count.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcncrossmodalemotions_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    shard_batch,
+)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8,)
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = make_mesh()
+    batch = {"data": np.zeros((16, 4), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["data"].sharding.is_equivalent_to(
+        batch_sharding(mesh), ndim=2
+    )
+
+
+def test_pad_to_multiple():
+    batch = {"data": np.arange(10, dtype=np.float32).reshape(5, 2),
+             "label": np.arange(5)}
+    padded, n = pad_to_multiple(batch, 8)
+    assert n == 5
+    assert padded["data"].shape[0] == 8
+    np.testing.assert_array_equal(padded["data"][:5], batch["data"])
+
+
+def test_dp_gradients_match_single_device():
+    """The whole point: sharded-batch gradients == single-device gradients
+    (the psum over the mesh reproduces the parameter server sum)."""
+    from mcncrossmodalemotions_tpu.parallel.mesh import (
+        batch_sharding,
+        replicated_sharding,
+    )
+
+    mesh = make_mesh()
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 3).astype(np.float32))
+    x = jnp.asarray(np.random.RandomState(1).randn(16, 4).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(2).randint(0, 3, 16))
+
+    def loss(w, x, y):
+        logits = x @ w
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    g_single = jax.grad(loss)(w, x, y)
+    g_dp = jax.jit(
+        jax.grad(loss),
+        in_shardings=(replicated_sharding(mesh), batch_sharding(mesh),
+                      batch_sharding(mesh)),
+        out_shardings=replicated_sharding(mesh),
+    )(w, x, y)
+    np.testing.assert_allclose(np.asarray(g_single), np.asarray(g_dp), atol=1e-6)
+
+
+def test_trainer_with_mesh_matches_no_mesh():
+    """One SGD step under the 8-device mesh == one step single-device."""
+    import flax.linen as nn
+
+    from mcncrossmodalemotions_tpu.losses import softmax_ce
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Dense(8)(x)
+            h = nn.BatchNorm(use_running_average=not train)(h)
+            return nn.Dense(3)(nn.relu(h))
+
+    def loss_fn(logits, batch):
+        return softmax_ce(logits, batch["label"]), {}
+
+    rng = np.random.RandomState(0)
+    data = rng.randn(16, 4).astype(np.float32)
+    labels = rng.randint(0, 3, 16)
+
+    def batches(epoch):
+        yield {"data": data, "label": labels}
+
+    cfg = TrainConfig(num_epochs=1, learning_rate=0.1, weight_decay=0.0,
+                      log_every=1000)
+
+    results = []
+    for mesh in (None, make_mesh()):
+        trainer = Trainer(
+            Net(), loss_fn,
+            TrainConfig(num_epochs=1, learning_rate=0.1, weight_decay=0.0,
+                        log_every=1000, resume=False,
+                        exp_dir=f"/tmp/mesh_test_{mesh is not None}"),
+            mesh=mesh)
+        state = trainer.init_state({"data": data[:2]})
+        state, _ = trainer.run_epoch(state, batches(1), epoch=1, train=True)
+        results.append(jax.device_get(state.params))
+    flat0 = jax.tree.leaves(results[0])
+    flat1 = jax.tree.leaves(results[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -1,0 +1,136 @@
+"""Golden-value tests for the audio frontend (SURVEY.md section 7 step 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mcncrossmodalemotions_tpu.ops.spectrogram import (
+    DEFAULT_SPEC,
+    SpecConfig,
+    frame_signal,
+    hamming,
+    instance_norm,
+    preemphasis,
+    spectrogram,
+    waveform_to_input,
+)
+
+
+def reference_spectrogram(x: np.ndarray, cfg: SpecConfig = DEFAULT_SPEC) -> np.ndarray:
+    """Literal float64 implementation of the runSpec pipeline definition."""
+    xe = np.concatenate(
+        [x[..., :1], x[..., 1:] - cfg.preemph * x[..., :-1]], axis=-1
+    ).astype(np.float64)
+    t = cfg.num_frames(x.shape[-1])
+    frames = np.stack(
+        [xe[..., i * cfg.hop_length:i * cfg.hop_length + cfg.win_length]
+         for i in range(t)],
+        axis=-2,
+    )
+    n = cfg.win_length
+    w = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n) / (n - 1))
+    mag = np.abs(np.fft.fft(frames * w, cfg.nfft, axis=-1))
+    return np.swapaxes(mag, -1, -2)
+
+
+def test_geometry_matches_reference():
+    """The documented crop arithmetic: 4.024 s = 64,384 samples = 400 frames
+    (getBatchEmoVoxCeleb.m:67-68)."""
+    cfg = DEFAULT_SPEC
+    assert cfg.win_length == 400
+    assert cfg.hop_length == 160
+    assert cfg.crop_samples(400) == 64384
+    assert cfg.num_frames(64384) == 400
+    assert cfg.frames_per_second() == 100.0
+
+
+def test_hamming_symmetric_matlab_convention():
+    w = hamming(400)
+    assert w[0] == pytest.approx(0.08, abs=1e-6)
+    np.testing.assert_allclose(w, w[::-1], rtol=1e-6)
+
+
+def test_preemphasis_matches_matlab_filter(rng):
+    x = rng.randn(64).astype(np.float32)
+    y = np.asarray(preemphasis(jnp.asarray(x), 0.97))
+    expected = np.empty_like(x)
+    expected[0] = x[0]
+    expected[1:] = x[1:] - 0.97 * x[:-1]
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_frame_signal_shapes_and_values(rng):
+    x = rng.randn(2, 1000).astype(np.float32)
+    frames = np.asarray(frame_signal(jnp.asarray(x), 400, 160))
+    assert frames.shape == (2, 4, 400)
+    np.testing.assert_array_equal(frames[:, 2], x[:, 320:720])
+
+
+def test_spectrogram_golden_values(rng):
+    x = rng.randn(2, 64384).astype(np.float32)
+    got = np.asarray(spectrogram(jnp.asarray(x)))
+    ref = reference_spectrogram(x)
+    assert got.shape == (2, 512, 400)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_spectrogram_conjugate_symmetry(rng):
+    x = rng.randn(1, 64384).astype(np.float32)
+    spec = np.asarray(spectrogram(jnp.asarray(x)))[0]
+    np.testing.assert_allclose(spec[1:256], spec[511:256:-1], rtol=1e-5)
+
+
+def test_instance_norm_matches_matlab_std(rng):
+    """mean/std over time per freq bin, N-1 std (getBatchEmoVoxCeleb.m:164-169)."""
+    spec = rng.rand(3, 16, 50).astype(np.float32) * 10
+    got = np.asarray(instance_norm(jnp.asarray(spec)))
+    mu = spec.mean(axis=-1, keepdims=True)
+    sd = spec.std(axis=-1, keepdims=True, ddof=1)
+    np.testing.assert_allclose(got, (spec - mu) / sd, atol=1e-4)
+
+
+def test_instance_norm_masked_matches_trimmed(rng):
+    """Masked stats over valid frames == stats of the trimmed signal."""
+    spec = rng.rand(2, 8, 50).astype(np.float32)
+    valid = np.array([50, 30])
+    got = np.asarray(instance_norm(jnp.asarray(spec), valid_frames=valid))
+    trimmed = np.asarray(instance_norm(jnp.asarray(spec[1:, :, :30])))
+    np.testing.assert_allclose(got[1, :, :30], trimmed[0], atol=1e-4)
+    assert np.all(got[1, :, 30:] == 0)
+
+
+def test_waveform_to_input_shape(rng):
+    x = rng.randn(2, 64384).astype(np.float32)
+    out = np.asarray(waveform_to_input(jnp.asarray(x)))
+    assert out.shape == (2, 512, 400, 1)
+    # Each frequency row is instance-normalised: mean ~0, std ~1 over time.
+    assert abs(out[0, 100, :, 0].mean()) < 1e-3
+
+
+def test_pallas_kernel_matches_jnp(rng):
+    """Interpret-mode check of the fused kernel; 2 tiles, tile-aligned T.
+
+    (Small sizes: interpret mode is slow. The TPU bench exercises the
+    kernel at the full 400-frame training shape.)"""
+    from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import spectrogram_pallas
+
+    cfg = DEFAULT_SPEC
+    n = cfg.crop_samples(256)
+    x = rng.randn(1, n).astype(np.float32)
+    ref = np.asarray(spectrogram(jnp.asarray(x)))
+    got = np.asarray(spectrogram_pallas(jnp.asarray(x), interpret=True))
+    assert got.shape == ref.shape == (1, 512, 256)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_pallas_kernel_non_tile_multiple(rng):
+    """T not a multiple of the 128-frame tile: padding + trim must be exact."""
+    from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import spectrogram_pallas
+
+    cfg = DEFAULT_SPEC
+    n = cfg.crop_samples(150)  # 150 frames -> 2 tiles, trimmed
+    x = rng.randn(1, n).astype(np.float32)
+    ref = np.asarray(spectrogram(jnp.asarray(x)))
+    got = np.asarray(spectrogram_pallas(jnp.asarray(x), interpret=True))
+    assert got.shape == ref.shape == (1, 512, 150)
+    np.testing.assert_allclose(got, ref, atol=5e-4)

@@ -1,0 +1,135 @@
+"""Training engine: overfit a tiny problem, checkpoint/resume, best-epoch."""
+
+import numpy as np
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcncrossmodalemotions_tpu.losses import class_error, per_class_stats, softmax_ce
+from mcncrossmodalemotions_tpu.train import checkpoints as ckpt_lib
+from mcncrossmodalemotions_tpu.train.engine import (
+    MetricAverager,
+    TrainConfig,
+    Trainer,
+    logspace_lr,
+    lr_for_epoch,
+    summarize_class_stats,
+)
+
+
+class TinyNet(nn.Module):
+    num_outputs: int = 3
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        h = nn.Dense(16)(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = nn.relu(h)
+        return nn.Dense(self.num_outputs)(h)
+
+
+def _loss_fn(logits, batch):
+    loss = softmax_ce(logits, batch["label"])
+    correct, pop = per_class_stats(logits, batch["label"], 3)
+    return loss, {
+        "classerror": class_error(logits, batch["label"]),
+        "class_correct": correct,
+        "class_pop": pop,
+    }
+
+
+def _make_data(n=96, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = np.asarray([[2.0, 0.0], [-2.0, 1.0], [0.0, -2.0]], np.float32)
+    labels = rng.randint(0, 3, n)
+    data = centers[labels] + 0.3 * rng.randn(n, 2).astype(np.float32)
+    return data, labels
+
+
+def _batches(data, labels, batch_size=32):
+    def fn(epoch):
+        for i in range(0, len(data), batch_size):
+            yield {"data": data[i:i + batch_size], "label": labels[i:i + batch_size]}
+    return fn
+
+
+def test_lr_schedule_array():
+    cfg = TrainConfig(learning_rate=logspace_lr(-4, -5, 10), num_epochs=10)
+    assert lr_for_epoch(cfg, 1) == pytest.approx(1e-4)
+    assert lr_for_epoch(cfg, 10) == pytest.approx(1e-5)
+    assert lr_for_epoch(TrainConfig(learning_rate=0.01), 5) == 0.01
+
+
+def test_trainer_overfits_tiny_problem(tmp_path):
+    data, labels = _make_data()
+    cfg = TrainConfig(num_epochs=12, batch_size=32, learning_rate=0.05,
+                      weight_decay=0.0, exp_dir=str(tmp_path / "exp"),
+                      log_every=1000)
+    trainer = Trainer(TinyNet(), _loss_fn, cfg, class_names=("a", "b", "c"))
+    state, history = trainer.fit(
+        _batches(data, labels),
+        val_batches_fn=_batches(data, labels),
+        example_batch={"data": data[:2]},
+    )
+    final = history[-1]
+    assert final["train"]["classerror"] < 0.1
+    assert final["val"]["classerror"] < 0.1
+    assert "meanAcc" in final["train"]
+    assert final["train"]["aPop"] + final["train"]["bPop"] + final["train"]["cPop"] == pytest.approx(1.0)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    data, labels = _make_data()
+    exp_dir = str(tmp_path / "exp")
+    kw = dict(batch_size=32, learning_rate=0.05, weight_decay=0.0,
+              exp_dir=exp_dir, log_every=1000)
+    trainer = Trainer(TinyNet(), _loss_fn, TrainConfig(num_epochs=3, **kw))
+    trainer.fit(_batches(data, labels), example_batch={"data": data[:2]})
+    assert len(ckpt_lib.list_checkpoints(exp_dir)) == 3
+
+    # Resume continues at epoch 4, not from scratch.
+    trainer2 = Trainer(TinyNet(), _loss_fn, TrainConfig(num_epochs=5, **kw))
+    _, history = trainer2.fit(_batches(data, labels), example_batch={"data": data[:2]})
+    assert [h["epoch"] for h in history] == [4, 5]
+
+
+def test_corrupt_checkpoint_fallback(tmp_path):
+    data, labels = _make_data()
+    exp_dir = str(tmp_path / "exp")
+    kw = dict(batch_size=32, learning_rate=0.05, weight_decay=0.0,
+              exp_dir=exp_dir, log_every=1000)
+    trainer = Trainer(TinyNet(), _loss_fn, TrainConfig(num_epochs=2, **kw))
+    trainer.fit(_batches(data, labels), example_batch={"data": data[:2]})
+    # Corrupt the newest checkpoint; resume must fall back to epoch 1.
+    ckpt_lib.checkpoint_path(exp_dir, 2).write_bytes(b"garbage")
+    trainer2 = Trainer(TinyNet(), _loss_fn, TrainConfig(num_epochs=3, **kw))
+    _, history = trainer2.fit(_batches(data, labels), example_batch={"data": data[:2]})
+    assert history[0]["epoch"] == 2
+
+
+def test_find_best_epoch_and_prune(tmp_path):
+    exp_dir = tmp_path / "exp"
+    exp_dir.mkdir()
+    for epoch, err in [(1, 0.5), (2, 0.2), (3, 0.3)]:
+        ckpt_lib.save_checkpoint(exp_dir, epoch, {"w": np.zeros(2)},
+                                 {"val": {"classerror": err}})
+    assert ckpt_lib.find_best_epoch(exp_dir) == 2
+    ckpt_lib.find_best_epoch(exp_dir, prune=True)
+    assert [e for e, _ in ckpt_lib.list_checkpoints(exp_dir)] == [2]
+
+
+def test_metric_averager_weighted():
+    avg = MetricAverager()
+    avg.update({"loss": jnp.asarray(1.0)}, 10)
+    avg.update({"loss": jnp.asarray(2.0)}, 30)
+    assert avg.result()["loss"] == pytest.approx(1.75)
+
+
+def test_summarize_class_stats():
+    result = {"loss": 0.5, "class_correct": np.array([1.0, 4.0]),
+              "class_pop": np.array([2.0, 4.0])}
+    stats = summarize_class_stats(result, ("neg", "pos"))
+    assert stats["neg"] == 0.5 and stats["pos"] == 1.0
+    assert stats["meanAcc"] == pytest.approx(0.75)
+    assert stats["negPop"] == pytest.approx(2 / 6)
