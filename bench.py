@@ -1,0 +1,85 @@
+"""Distillation training throughput benchmark (the BASELINE.json metric).
+
+Measures steady-state utts/sec/chip of the full student distillation
+train step — on-device spectrogram frontend + VGG-M forward + backward +
+SGD update, batch 64 of 4 s crops (the run_distillation.m defaults) —
+on whatever accelerator is visible (the driver runs this on one real
+TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against an estimated MatConvNet-GPU reference
+throughput of 60 utts/sec: the reference publishes no wall-clock numbers
+(SURVEY.md section 6), and its pipeline was bottlenecked by per-sample
+CPU wav decode + MATLAB spectrograms feeding a single-GPU VGG-M
+(~15 ms/batch-sample observed class of hardware, getBatchEmoVoxCeleb hot
+loop, SURVEY.md section 3.1). The BASELINE.json target is >=10x this
+(600 utts/sec/chip on v5e).
+"""
+
+import json
+import time
+
+import numpy as np
+
+MATCONVNET_BASELINE_UTTS_PER_SEC = 60.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC
+    from mcncrossmodalemotions_tpu.train.state import (
+        SGDConfig,
+        TrainState,
+        make_train_step,
+    )
+    from mcncrossmodalemotions_tpu.zoo import build_student, student_loss_fn
+
+    batch_size = 64
+    crop = DEFAULT_SPEC.crop_samples(400)  # 4 s = 64,384 samples
+    rng = np.random.RandomState(0)
+    batch = {
+        "data": jnp.asarray(rng.randn(batch_size, crop).astype(np.float32)),
+        "logit_target": jnp.asarray(
+            rng.randn(batch_size, 8).astype(np.float32) * 2
+        ),
+        "max_label": jnp.asarray(rng.randint(0, 8, batch_size)),
+    }
+
+    model = build_student("emovoxceleb-student")
+    variables = model.init(jax.random.PRNGKey(0), batch["data"][:1])
+    state = TrainState.create(variables, jax.random.PRNGKey(1))
+    loss_fn = student_loss_fn("hot-cross-ent", temperature=2.0)
+    step = jax.jit(
+        make_train_step(model.apply, loss_fn, SGDConfig(weight_decay=0.0)),
+        donate_argnums=(0,),
+    )
+
+    # warmup / compile. NOTE: sync via device_get, not block_until_ready —
+    # the latter returns without waiting under the axon-tunnelled TPU
+    # runtime, which silently turns this into a dispatch-rate benchmark.
+    state, metrics = step(state, batch, 1e-4)
+    float(jax.device_get(metrics["loss"]))
+
+    # steady state: steps are chained through `state`, so syncing the final
+    # loss bounds the whole sequence.
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, 1e-4)
+    float(jax.device_get(metrics["loss"]))
+    elapsed = time.perf_counter() - t0
+
+    utts_per_sec = batch_size * iters / elapsed
+    print(json.dumps({
+        "metric": "distillation_train_throughput",
+        "value": round(utts_per_sec, 2),
+        "unit": "utts/sec/chip",
+        "vs_baseline": round(utts_per_sec / MATCONVNET_BASELINE_UTTS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,8 +102,10 @@ def read_wav(path: str | Path, start: int = 0,
 
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     """PCM16 wav writer (for synthetic fixtures and sample_audio exports)."""
-    samples = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
-    pcm = (samples * 32767.0).astype("<i2")
+    # MATLAB audiowrite convention: scale by 32768, clip to int16 range;
+    # audioread divides by 32768, so the round-trip is pure quantisation.
+    samples = np.asarray(samples, np.float32)
+    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
     payload = pcm.tobytes()
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,131 @@
+"""FER2013+ dataset construction (``getFerPlusImdb`` equivalent).
+
+Parses the public csv pair into the FerPlusImdb schema:
+
+- ``fer2013.csv``: emotion,pixels,Usage — 48x48 grayscale pixel strings
+  with the original FER2013 labels and Training/PublicTest/PrivateTest
+  splits.
+- ``fer2013new.csv`` (FERPlus): Usage,Image name,neutral,happiness,
+  surprise,sadness,anger,disgust,fear,contempt,unknown,NF — 10 rater
+  vote counts per image.
+
+Reference semantics (ferplus_baselines.m:153-221): the 'CNTK' dataType
+keeps the 8 emotion columns (NF/unknown dropped, :167-172); hard label =
+majority vote; images whose votes are all NF/unknown are excluded;
+sets map Training->1, PublicTest->2 (val), PrivateTest->3 (test).
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from mcncrossmodalemotions_tpu import EMOTIONS
+from mcncrossmodalemotions_tpu.data.imdb import FerPlusImdb
+
+FERPLUS_VOTE_COLUMNS = EMOTIONS + ("unknown", "NF")
+_USAGE_TO_SET = {"Training": 1, "PublicTest": 2, "PrivateTest": 3}
+IMAGE_SIZE = 48
+
+
+def parse_ferplus_csvs(fer_csv: str | Path, ferplus_csv: str | Path,
+                       limit: Optional[int] = None) -> FerPlusImdb:
+    """Join fer2013.csv pixels with fer2013new.csv votes row-by-row."""
+    pixels, sets = [], []
+    with open(fer_csv) as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        pix_col = header.index("pixels")
+        usage_col = header.index("Usage")
+        for row in reader:
+            arr = np.asarray(row[pix_col].split(), np.uint8)
+            pixels.append(arr.reshape(IMAGE_SIZE, IMAGE_SIZE))
+            sets.append(_USAGE_TO_SET[row[usage_col]])
+            if limit and len(pixels) >= limit:
+                break
+    votes = []
+    with open(ferplus_csv) as f:
+        reader = csv.reader(f)
+        next(reader)  # header
+        for row in reader:
+            votes.append(np.asarray(row[2:12], np.float32))
+            if limit and len(votes) >= limit:
+                break
+    assert len(pixels) == len(votes), (len(pixels), len(votes))
+    data = np.stack(pixels)[..., None]  # [N, 48, 48, 1]
+    votes = np.stack(votes)  # [N, 10]
+    sets = np.asarray(sets, np.int32)
+    # Exclude images with no emotion votes (all mass on unknown/NF).
+    emo_votes = votes[:, :8]
+    keep = emo_votes.sum(axis=1) > 0
+    data, votes, sets, emo_votes = (
+        data[keep], votes[keep], sets[keep], emo_votes[keep]
+    )
+    hard = emo_votes.argmax(axis=1).astype(np.int32)
+    return FerPlusImdb(data=data, hard_labels=hard, votes=votes,
+                       set_id=sets, classes=EMOTIONS)
+
+
+def vote_distributions(votes: np.ndarray) -> np.ndarray:
+    """Normalise 10-col votes to 8-class distributions (NF/unknown dropped,
+    ferplus_baselines.m:167-172)."""
+    emo = votes[:, :8].astype(np.float32)
+    total = emo.sum(axis=1, keepdims=True)
+    return emo / np.maximum(total, 1e-8)
+
+
+def build_synthetic_ferplus(num_images: int = 120, seed: int = 0,
+                            image_size: int = IMAGE_SIZE) -> FerPlusImdb:
+    """Synthetic FER+ mini-imdb (the opts.dev pattern, ferplus_baselines.m:59).
+
+    Each image's dominant emotion drives a distinctive gradient pattern so
+    tiny teachers can overfit it in tests.
+    """
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 8, num_images)
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+    data = np.zeros((num_images, image_size, image_size, 1), np.uint8)
+    votes = np.zeros((num_images, 10), np.float32)
+    for i, lab in enumerate(labels):
+        pattern = 127 + 120 * np.sin(
+            2 * np.pi * (lab + 1) * (xx + (lab % 3) * yy) / (8 * image_size)
+        )
+        noise = rng.randn(image_size, image_size) * 10
+        data[i, :, :, 0] = np.clip(pattern + noise, 0, 255).astype(np.uint8)
+        votes[i, lab] = 7 + rng.randint(0, 3)
+        other = rng.randint(0, 8)
+        votes[i, other] += 2
+        labels[i] = votes[i, :8].argmax()
+    n_train = int(num_images * 0.7)
+    n_val = int(num_images * 0.15)
+    sets = np.full(num_images, 3, np.int32)
+    sets[:n_train] = 1
+    sets[n_train:n_train + n_val] = 2
+    return FerPlusImdb(data=data, hard_labels=labels.astype(np.int32),
+                       votes=votes, set_id=sets, classes=EMOTIONS)
+
+
+def ferplus_batches(imdb: FerPlusImdb, subset: int, batch_size: int,
+                    shuffle: bool = False, seed: int = 0,
+                    drop_remainder: bool = False):
+    """Yield host batches: uint8 images + hard labels + vote distributions.
+
+    On-device preprocessing (grayscale->RGB, mean subtract, augmentation
+    warp) happens inside the teacher pipeline (models/teacher_pipeline.py),
+    so the host ships 48x48 uint8 — 2.3 kB/image.
+    """
+    idx = np.where(imdb.set_id == subset)[0]
+    if shuffle:
+        idx = np.random.RandomState(seed).permutation(idx)
+    for i in range(0, len(idx), batch_size):
+        chunk = idx[i:i + batch_size]
+        if drop_remainder and len(chunk) < batch_size:
+            break
+        yield {
+            "data": imdb.data[chunk],
+            "hard_label": imdb.hard_labels[chunk],
+            "label_dist": vote_distributions(imdb.votes[chunk]),
+        }

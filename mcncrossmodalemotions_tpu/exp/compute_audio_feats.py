@@ -1,0 +1,164 @@
+"""Student feature extraction over full clips (``compute_audio_feats.m``).
+
+Runs the audio student over every track of a target dataset and stores
+per-track logits ('faceLogits' in the reference's naming, kept even for
+audio — compute_audio_feats.m:144).
+
+Variable-length handling (reference :45-46, :116-136, :160-185): the
+full-clip spectrogram is instance-normalised, then center-cropped to the
+largest duration bucket <= T where buckets are {100..1000} frames
+(1-10 s), and the temporal pool adapts. The reference mutated
+``pool6.poolSize`` per sample and ran batch=1; here each bucket is one
+static jit shape, tracks are **batched within a bucket**, and the
+masked temporal mean-pool handles the pool-width change — no graph
+mutation, 10 compiled shapes total.
+
+'random' model short-circuit (:95-99): gaussian logits, the statistical
+null baseline (expected ~1/6 accuracy on 6-class benchmarks).
+
+Boundary note: spectrograms are computed from the center-cropped sample
+window rather than by cropping a full-clip spectrogram; the two differ
+only in preemphasis of the first sample of the first frame (1 sample in
+64k) — below float tolerance downstream. Instance-norm statistics are
+computed over the FULL clip (masked), matching the reference order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcncrossmodalemotions_tpu.data.audio import read_wav
+from mcncrossmodalemotions_tpu.data.emovox import MAX_CLIP_SECONDS
+from mcncrossmodalemotions_tpu.ops.spectrogram import (
+    DEFAULT_SPEC,
+    SpecConfig,
+    instance_norm,
+    spectrogram,
+)
+from mcncrossmodalemotions_tpu.utils.logging import Eta
+
+BUCKET_WIDTHS = tuple(range(100, 1001, 100))  # frames (compute_audio_feats.m:45)
+MAX_EVAL_FRAMES = 1990  # 19.9 s cap (getBatchEmoVoxCeleb.m:84-88)
+
+
+def bucket_for(num_frames: int) -> int:
+    """Largest bucket width <= num_frames (minimum 100)."""
+    eligible = [w for w in BUCKET_WIDTHS if w <= num_frames]
+    return eligible[-1] if eligible else BUCKET_WIDTHS[0]
+
+
+def pad_frames_shape(num_frames: int) -> int:
+    """Round up to a multiple of 100 (static spectrogram shapes), cap 19.9 s."""
+    num_frames = min(num_frames, MAX_EVAL_FRAMES)
+    return min(-(-num_frames // 100) * 100, 2000)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "bucket"))
+def _bucket_forward(apply_fn, variables, specs: jax.Array, bucket: int,
+                    valid: jax.Array) -> jax.Array:
+    """specs: [B, F, T_pad] raw magnitudes; full-clip masked norm, center
+    crop to ``bucket`` frames, model forward."""
+    normed = instance_norm(specs, valid_frames=valid)
+    start = jnp.maximum((valid - bucket) // 2, 0)
+
+    def crop_one(spec, s):
+        return jax.lax.dynamic_slice_in_dim(spec, s, bucket, axis=-1)
+
+    cropped = jax.vmap(crop_one)(normed, start)
+    logits = apply_fn(variables, cropped[..., None], train=False,
+                      valid_frames=jnp.full_like(valid, bucket))
+    return logits
+
+
+@dataclasses.dataclass
+class AudioFeatureExtractor:
+    """Batched bucketed student inference."""
+
+    model: object  # bare VGGMStudent (spectrogram input)
+    variables: dict
+    spec: SpecConfig = DEFAULT_SPEC
+    batch_size: int = 16
+
+    def track_logits(self, wav_paths: Sequence[str],
+                     verbose: bool = True) -> List[np.ndarray]:
+        """Per-track [1, C] logits over the bucketed full clip."""
+        cfg = self.spec
+        # 1) read waveforms + compute raw spectrograms grouped by pad shape
+        jobs = []  # (track_idx, spec[F, T], valid_frames, bucket)
+        eta = Eta(len(wav_paths), "audio-feats", log_every=200) if verbose else None
+        for i, path in enumerate(wav_paths):
+            samples, fs = read_wav(path)
+            cap = int(MAX_CLIP_SECONDS * fs)
+            samples = samples[:cap]
+            t = cfg.num_frames(len(samples))
+            if t == 0:
+                samples = np.pad(samples, (0, cfg.crop_samples(100) - len(samples)))
+                t = cfg.num_frames(len(samples))
+            t = min(t, MAX_EVAL_FRAMES)
+            t_pad = pad_frames_shape(t)
+            need = cfg.crop_samples(t_pad)
+            if len(samples) < need:
+                samples = np.pad(samples, (0, need - len(samples)))
+            samples = samples[:need]
+            jobs.append((i, samples.astype(np.float32), t, bucket_for(t), t_pad))
+            if eta:
+                eta.tick()
+        # 2) group by (t_pad, bucket) and run batched
+        out: List[Optional[np.ndarray]] = [None] * len(wav_paths)
+        groups: Dict[tuple, list] = {}
+        for job in jobs:
+            groups.setdefault((job[4], job[3]), []).append(job)
+        for (t_pad, bucket), group in sorted(groups.items()):
+            for k in range(0, len(group), self.batch_size):
+                chunk = group[k:k + self.batch_size]
+                waves = jnp.asarray(np.stack([j[1] for j in chunk]))
+                valid = jnp.asarray(np.asarray([j[2] for j in chunk], np.int32))
+                specs = spectrogram(waves, cfg)
+                logits = _bucket_forward(self.model.apply, self.variables,
+                                         specs, bucket, valid)
+                logits = np.asarray(jax.device_get(logits))
+                for j, row in zip(chunk, logits):
+                    out[j[0]] = row[None, :]  # [1, C] per track
+        return out  # type: ignore[return-value]
+
+
+def compute_audio_feats(imdb, model=None, variables=None,
+                        model_name: str = "emovoxceleb-student",
+                        feat_path: Optional[str] = None,
+                        batch_size: int = 16,
+                        num_classes: int = 8,
+                        seed: int = 0,
+                        limit: Optional[int] = None,
+                        verbose: bool = True) -> List[np.ndarray]:
+    """Per-track student logits for a TrackImdb/EmoVoxImdb.
+
+    ``model_name='random'`` emits gaussian logits (the null baseline,
+    compute_audio_feats.m:95-99). Results cached at ``feat_path``.
+    """
+    if feat_path and Path(feat_path).exists():
+        data = np.load(feat_path, allow_pickle=True)
+        return list(data["logits"])
+    wav_dir = getattr(imdb, "wav_dir", "")
+    paths = [str(Path(wav_dir) / p) for p in imdb.wav_paths]
+    if limit:
+        paths = paths[:limit]
+    if model_name == "random":
+        rng = np.random.RandomState(seed)
+        logits = [rng.randn(1, num_classes).astype(np.float32) for _ in paths]
+    else:
+        assert model is not None and variables is not None
+        extractor = AudioFeatureExtractor(model, variables,
+                                          batch_size=batch_size)
+        logits = extractor.track_logits(paths, verbose=verbose)
+    if feat_path:
+        Path(feat_path).parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(feat_path,
+                            logits=np.asarray(logits, dtype=object))
+    return logits

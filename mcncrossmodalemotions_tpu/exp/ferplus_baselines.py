@@ -1,0 +1,182 @@
+"""FER2013+ teacher training/eval driver (``ferplus_baselines.m`` equivalent).
+
+Defaults mirror ferplus_baselines.m:71-92: senet50 teacher,
+'distributions' loss vs rater votes (8-class 'CNTK' dataType), dropout
+0.5, batch 128, step LR schedule [0.01x60 0.001x60 0.0001x60], random
+fliplr + zoom/rotate/skew affine augmentation on half the batch.
+
+Eval-only mode (:120-136): runs a single val pass over the requested
+subset with no training, optionally from the best checkpoint
+(findBestEpoch with pruning, :121-126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from mcncrossmodalemotions_tpu import EMOTIONS
+from mcncrossmodalemotions_tpu.data.ferplus import FerPlusImdb, ferplus_batches
+from mcncrossmodalemotions_tpu.models.teacher_pipeline import FaceTeacherPipeline
+from mcncrossmodalemotions_tpu.train import checkpoints as ckpt_lib
+from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+from mcncrossmodalemotions_tpu.utils.config import config_hash, to_dict
+from mcncrossmodalemotions_tpu.zoo import build_teacher, teacher_loss_fn
+
+_SUBSET_IDS = {"train": 1, "val": 2, "test": 3}
+
+
+def step_lr(values, epochs_each) -> tuple:
+    """[0.01*60 0.001*60 0.0001*60]-style schedule (ferplus_baselines.m:79)."""
+    out = []
+    for v, n in zip(values, epochs_each):
+        out.extend([v] * n)
+    return tuple(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class FerPlusConfig:
+    """ferplus_baselines.m:71-92 defaults."""
+
+    model: str = "senet50-ferplus"
+    loss_type: str = "distributions"
+    num_classes: int = 8          # 'CNTK' dataType
+    batch_size: int = 128
+    dropout: float = 0.5
+    lr_values: tuple = (0.01, 0.001, 0.0001)
+    lr_epochs: tuple = (60, 60, 60)
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    augment: bool = True
+    input_size: int = 224
+    seed: int = 0
+    out_root: str = "exps"
+    tiny_model: bool = False
+    dev: bool = False             # opts.dev: 1000 train/val, 1 epoch (:59,112-118)
+
+    def exp_name(self) -> str:
+        # Identity fields only (schedule length / paths excluded) so longer
+        # schedules resume in place, matching buildExpDirName semantics
+        # (ferplus_baselines.m:297-309).
+        identity = (self.model, self.loss_type, self.num_classes,
+                    self.dropout, self.augment, self.input_size,
+                    self.seed, self.tiny_model, self.dev)
+        return f"ferplus-{self.model}-{self.loss_type}-{config_hash(identity)}"
+
+
+def build_pipeline(cfg: FerPlusConfig) -> FaceTeacherPipeline:
+    teacher = build_teacher(cfg.model, num_outputs=cfg.num_classes,
+                            tiny=cfg.tiny_model)
+    teacher = dataclasses.replace(teacher, head_init_scale=0.01)
+    return FaceTeacherPipeline(teacher=teacher, input_size=cfg.input_size,
+                               augment=cfg.augment)
+
+
+def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
+                      evaluate_only: Optional[str] = None,
+                      use_best_epoch: bool = False,
+                      mesh=None, resume: bool = True):
+    """Train (or eval) the teacher; returns (state, history | eval_stats).
+
+    ``evaluate_only`` in {'val','test'} runs one evaluation pass over that
+    subset (ferplus_baselines.m:120-136), loading the best or latest
+    checkpoint from the experiment dir.
+    """
+    if cfg.dev:
+        keep = np.concatenate([
+            np.where(imdb.set_id == s)[0][:1000] for s in (1, 2, 3)
+        ])
+        imdb = imdb.subset(np.sort(keep))
+
+    exp_dir = Path(cfg.out_root) / cfg.exp_name()
+    num_epochs = 1 if cfg.dev else sum(cfg.lr_epochs)
+    tcfg = TrainConfig(
+        num_epochs=num_epochs,
+        batch_size=cfg.batch_size,
+        learning_rate=step_lr(cfg.lr_values, cfg.lr_epochs),
+        momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay,
+        seed=cfg.seed,
+        exp_dir=str(exp_dir),
+        resume=resume,
+    )
+    model = build_pipeline(cfg)
+    loss_fn = teacher_loss_fn(cfg.loss_type, num_classes=cfg.num_classes)
+    rngs = []
+    if cfg.augment:
+        rngs.append("augment")
+    if cfg.dropout > 0:
+        rngs.append("dropout")
+    trainer = Trainer(model, loss_fn, tcfg, class_names=EMOTIONS,
+                      mesh=mesh, rng_names=rngs)
+
+    example = next(ferplus_batches(imdb, 1, min(cfg.batch_size, 2)))
+
+    if evaluate_only is not None:
+        subset = _SUBSET_IDS[evaluate_only]
+        state = trainer.init_state(example)
+        epoch = None
+        if use_best_epoch:
+            epoch = ckpt_lib.find_best_epoch(exp_dir)
+        if epoch is not None:
+            state = ckpt_lib.load_checkpoint(
+                ckpt_lib.checkpoint_path(exp_dir, epoch), state)
+        else:
+            _, state = ckpt_lib.load_latest(exp_dir, state)
+        _, stats = trainer.run_epoch(
+            state,
+            ferplus_batches(imdb, subset, cfg.batch_size),
+            epoch=1, train=False,
+        )
+        stats["accuracy"] = 1.0 - stats["classerror"]  # benchmark_ferplus_models.m:51-56
+        return state, stats
+
+    state, history = trainer.fit(
+        lambda epoch: ferplus_batches(imdb, 1, cfg.batch_size, shuffle=True,
+                                      seed=cfg.seed + epoch,
+                                      drop_remainder=True),
+        val_batches_fn=lambda epoch: ferplus_batches(imdb, 2, cfg.batch_size),
+        example_batch=example,
+    )
+    return state, history
+
+
+def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
+                             models=(("resnet50-ferplus", "softmaxlog"),
+                                     ("senet50-ferplus", "distributions")),
+                             tiny_model: bool = False,
+                             base_cfg: Optional[FerPlusConfig] = None,
+                             cache_dir: Optional[str] = None):
+    """``benchmark_ferplus_models.m`` equivalent: val+test accuracy table.
+
+    Evaluates each (model, loss) pair on FER+ val and test via eval-only
+    runs; results cached per model (:40-60). ``base_cfg`` carries the
+    training-time options so eval resolves the same experiment dir.
+    """
+    results = {}
+    for model_name, loss_type in models:
+        cache = (Path(cache_dir) / f"{model_name}.json") if cache_dir else None
+        if cache and cache.exists():
+            results[model_name] = json.loads(cache.read_text())
+            continue
+        if base_cfg is not None:
+            cfg = dataclasses.replace(base_cfg, model=model_name,
+                                      loss_type=loss_type, out_root=out_root,
+                                      tiny_model=tiny_model)
+        else:
+            cfg = FerPlusConfig(model=model_name, loss_type=loss_type,
+                                out_root=out_root, tiny_model=tiny_model)
+        row = {}
+        for subset in ("val", "test"):
+            _, stats = ferplus_baselines(cfg, imdb, evaluate_only=subset)
+            row[f"{subset}Acc"] = stats["accuracy"]
+        results[model_name] = row
+        if cache:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            cache.write_text(json.dumps(row))
+        print(f"{model_name}: val {row['valAcc']:.3f} test {row['testAcc']:.3f}")
+    return results

@@ -1,0 +1,121 @@
+"""EmoVoxCeleb imdb construction (``fetch_emovoxceleb_imdb.m`` equivalent).
+
+Builds (or loads from cache) the teacher-logit imdb: crawls the VoxCeleb
+face-frame tree, registers frames to wav tracks (dropping frameless
+tracks and unclaimed frames, :228-285), runs dense teacher inference
+over every frame (batch 128, :119-136), and regroups the logits per wav
+into ``wav_logits`` matrices (:140-148). In-process + on-disk caching
+replaces the reference's global-variable cache + downloaded .mat
+(:16-40, :288-324).
+
+Expected layout (mirroring the reference's data conventions):
+    <root>/wavs/<speaker>/<track>.wav
+    <root>/frames/<speaker>/<track>/*.jpg   (every 6th video frame)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mcncrossmodalemotions_tpu.data.imdb import EmoVoxImdb
+from mcncrossmodalemotions_tpu.utils.logging import Eta
+
+_MEMORY_CACHE: Dict[str, EmoVoxImdb] = {}  # dev_cache equivalent (misc/dev_cache.m)
+
+
+def register_frames(wav_paths: List[str], frame_root: Path) -> tuple:
+    """Map each wav track to its dense frame list.
+
+    Tracks without frames are dropped (the reference drops 134,
+    :268-275); frames without a wav are ignored (1217 unclaimed, :276-281).
+    Returns (kept_wav_indices, frames_per_kept_track).
+    """
+    kept, frames = [], []
+    for i, rel in enumerate(wav_paths):
+        frame_dir = frame_root / Path(rel).with_suffix("")
+        if not frame_dir.is_dir():
+            continue
+        jpgs = sorted(str(p.relative_to(frame_root)) for p in frame_dir.glob("*.jpg"))
+        if not jpgs:
+            continue
+        kept.append(i)
+        frames.append(np.asarray(jpgs, dtype=object))
+    return np.asarray(kept, np.int64), frames
+
+
+def build_imdb(root: str | Path, teacher_model, teacher_variables,
+               set_assignment: Optional[Dict[str, int]] = None,
+               batch_size: int = 128,
+               limit: Optional[int] = None,
+               verbose: bool = True) -> EmoVoxImdb:
+    """Dense teacher inference over all registered frames -> EmoVoxImdb.
+
+    ``set_assignment`` maps speaker id -> set (1/2/3); defaults to 1.
+    ``limit`` caps processed tracks (the opts.limit dev pattern, :62).
+    """
+    from mcncrossmodalemotions_tpu import EMOTIONS
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+    )
+
+    root = Path(root)
+    wav_root, frame_root = root / "wavs", root / "frames"
+    wav_paths = sorted(
+        str(p.relative_to(wav_root)) for p in wav_root.rglob("*.wav")
+    )
+    kept, frames = register_frames(wav_paths, frame_root)
+    if limit:
+        kept, frames = kept[:limit], frames[:limit]
+    wav_paths = [wav_paths[i] for i in kept]
+    speakers = [p.split("/")[0] for p in wav_paths]
+    sets = np.asarray(
+        [(set_assignment or {}).get(s, 1) for s in speakers], np.int32
+    )
+
+    extractor = VisualFeatureExtractor(teacher_model, teacher_variables,
+                                       batch_size=batch_size)
+    flat = [str(frame_root / f) for track in frames for f in track]
+    if verbose:
+        print(f"dense teacher inference over {len(flat)} frames "
+              f"({len(wav_paths)} tracks)")
+    all_logits = extractor.frame_logits(flat, verbose=verbose)
+    wav_logits, offset = [], 0
+    for track in frames:
+        f = len(track)
+        wav_logits.append(all_logits[offset:offset + f].astype(np.float32))
+        offset += f
+    return EmoVoxImdb(
+        wav_paths=np.asarray(wav_paths, dtype=object),
+        speaker=np.asarray(speakers, dtype=object),
+        set_id=sets,
+        wav_logits=wav_logits,
+        dense_frames=frames,
+        wav_dir=str(wav_root),
+        classes=EMOTIONS,
+    )
+
+
+def fetch_emovoxceleb_imdb(root: str | Path, teacher_model=None,
+                           teacher_variables=None,
+                           cache_path: Optional[str] = None,
+                           **build_kwargs) -> EmoVoxImdb:
+    """Load-or-build with two cache levels (global var + .npz file),
+    mirroring fetch_emovoxceleb_imdb.m:16-40."""
+    key = f"{root}|{cache_path}"
+    if key in _MEMORY_CACHE:
+        return _MEMORY_CACHE[key]
+    if cache_path and Path(cache_path).exists():
+        imdb = EmoVoxImdb.load(cache_path)
+    else:
+        if teacher_model is None:
+            raise FileNotFoundError(
+                f"no cached imdb at {cache_path!r}; pass a teacher model to build"
+            )
+        imdb = build_imdb(root, teacher_model, teacher_variables, **build_kwargs)
+        if cache_path:
+            imdb.save(cache_path)
+    _MEMORY_CACHE[key] = imdb
+    return imdb

@@ -1,0 +1,92 @@
+"""Student heard/unheard ROC analysis (``student_stats.m`` equivalent).
+
+Pipeline (student_stats.m): student logits over all EmoVoxCeleb tracks
+(:54-58) -> softmax with temperature over the class axis (:95) ->
+teacher label = argmax over emotions of the per-wav max over frames of
+wavLogits (:97) -> per-partition {train=1, unheardVal=2, heardVal=3}
+one-vs-all ROC/AUC per emotion (:79-81, :94, :104-125) -> mean AUC over
+represented emotions excluding {fear, contempt, disgust} (:141-145),
+results cached (:131-149).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mcncrossmodalemotions_tpu import EMOTIONS
+from mcncrossmodalemotions_tpu.data.imdb import EmoVoxImdb
+from mcncrossmodalemotions_tpu.exp.compute_audio_feats import compute_audio_feats
+from mcncrossmodalemotions_tpu.utils.roc import auc_score, plot_roc
+
+IGNORE_EMOTIONS = ("fear", "contempt", "disgust")  # student_stats.m:141-145
+PARTITIONS = {"train": 1, "unheardVal": 2, "heardVal": 3}
+
+
+def softmax_np(x: np.ndarray, temperature: float = 1.0, axis: int = -1) -> np.ndarray:
+    z = x / temperature
+    z = z - z.max(axis=axis, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def teacher_labels(imdb: EmoVoxImdb) -> np.ndarray:
+    """Per-wav dominant teacher emotion: argmax_emotion max_frame logits."""
+    return np.asarray(
+        [int(w.max(axis=0).argmax()) for w in imdb.wav_logits], np.int32
+    )
+
+
+def student_stats(imdb: EmoVoxImdb,
+                  student_logits: Optional[List[np.ndarray]] = None,
+                  model=None, variables=None,
+                  temperature: float = 1.0,
+                  fig_dir: Optional[str] = None,
+                  cache_path: Optional[str] = None,
+                  verbose: bool = True) -> Dict[str, Dict[str, float]]:
+    """Per-partition per-emotion AUCs + meanAuc.
+
+    Returns {partition: {emotion: auc, ..., 'meanAuc': float}}.
+    """
+    if cache_path and Path(cache_path).exists():
+        return json.loads(Path(cache_path).read_text())
+    if student_logits is None:
+        student_logits = compute_audio_feats(imdb, model=model,
+                                             variables=variables,
+                                             verbose=verbose)
+    scores = np.concatenate([l.reshape(1, -1) if l.ndim == 1 else l[:1]
+                             for l in student_logits])  # [N, C]
+    scores = softmax_np(scores, temperature=temperature, axis=1)
+    labels = teacher_labels(imdb)
+    num_classes = scores.shape[1]
+
+    results: Dict[str, Dict[str, float]] = {}
+    for part_name, set_id in PARTITIONS.items():
+        mask = imdb.set_id == set_id
+        if not mask.any():
+            continue
+        part_scores = scores[mask]
+        part_labels = labels[mask]
+        aucs: Dict[str, float] = {}
+        for c in range(num_classes):
+            emotion = EMOTIONS[c]
+            binary = np.where(part_labels == c, 1, -1)
+            if (binary > 0).sum() == 0 or (binary < 0).sum() == 0:
+                continue  # emotion not represented in this partition
+            if fig_dir:
+                auc = plot_roc(binary, part_scores[:, c],
+                               f"{emotion} ({part_name})",
+                               str(Path(fig_dir) / f"{emotion}-{part_name}.jpg"))
+            else:
+                auc = auc_score(binary, part_scores[:, c])
+            aucs[emotion] = float(auc)
+        scored = [v for k, v in aucs.items() if k not in IGNORE_EMOTIONS]
+        aucs["meanAuc"] = float(np.mean(scored)) if scored else float("nan")
+        results[part_name] = aucs
+    if cache_path:
+        Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(cache_path).write_text(json.dumps(results, indent=2))
+    return results

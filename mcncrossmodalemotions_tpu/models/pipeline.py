@@ -1,0 +1,63 @@
+"""On-device audio pipeline: waveform -> spectrogram -> student logits.
+
+The reference computed spectrograms on the host inside the batch loader
+(getBatchEmoVoxCeleb.m:162) — its throughput bottleneck. Here the
+frontend runs inside the jitted step, so the host ships raw 4 s waveform
+crops (0.25 MB/utt) and the STFT + instance norm execute on the TPU
+(MXU matmul DFT, optionally the fused Pallas kernel), fused by XLA into
+the same program as the conv stack and backward pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mcncrossmodalemotions_tpu.models.vggm import VGGMStudent
+from mcncrossmodalemotions_tpu.ops.spectrogram import (
+    DEFAULT_SPEC,
+    SpecConfig,
+    instance_norm,
+    spectrogram,
+)
+
+
+class AudioStudentPipeline(nn.Module):
+    """Frontend + VGG-M student as one Flax module.
+
+    Input ``x``: [B, N] float32 waveforms. The spectrogram gradient is
+    stopped — the frontend has no parameters and the reference's input
+    layer likewise receives no gradient.
+    """
+
+    spec: SpecConfig = DEFAULT_SPEC
+    num_outputs: int = 8
+    dropout_rate: float = 0.0
+    use_pallas_frontend: bool = False
+    student: Optional[VGGMStudent] = None
+
+    def setup(self):
+        self.net = self.student or VGGMStudent(
+            num_outputs=self.num_outputs, dropout_rate=self.dropout_rate
+        )
+
+    def frontend(self, x: jax.Array, valid_frames=None) -> jax.Array:
+        if self.use_pallas_frontend:
+            from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import (
+                spectrogram_pallas,
+            )
+
+            spec = spectrogram_pallas(x, self.spec)
+        else:
+            spec = spectrogram(x, self.spec)
+        spec = instance_norm(spec, valid_frames=valid_frames)
+        return jax.lax.stop_gradient(spec[..., None])
+
+    def __call__(self, x: jax.Array, train: bool = False,
+                 valid_frames=None, return_embedding: bool = False):
+        feats = self.frontend(x, valid_frames=valid_frames)
+        return self.net(feats, train=train, valid_frames=valid_frames,
+                        return_embedding=return_embedding)

@@ -1,0 +1,134 @@
+"""Batched affine grid + bilinear sampling (on-device augmentation engine).
+
+Rebuilds the reference's GPU augmentation path — ``vl_nnaffinegrid`` +
+``vl_nnbilinearsampler`` (ferplus_baselines.m:194-213), which it also
+uses as a fast resize when augmentation is disabled (:200-206) — as pure
+jnp. The gather-based sampler lowers to XLA gathers that fuse with the
+surrounding program; the warp happens inside the jitted train step, so
+augmented images never round-trip through HBM separately.
+
+Augmentation parameters mirror computeAugs (ferplus_baselines.m:232-268):
+zoom 1 +/- 1/25, rotation +/- pi/18, skew +/- 0.1, composed, applied to a
+random 50% of the batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
+    """theta [B, 2, 3] -> sampling grid [B, H, W, 2] in [-1, 1] coords.
+
+    Convention: output pixel (i, j) samples input at
+    ``theta @ [x_j, y_i, 1]`` with x, y normalised to [-1, 1]
+    (vl_nnaffinegrid semantics).
+    """
+    ys = jnp.linspace(-1.0, 1.0, height)
+    xs = jnp.linspace(-1.0, 1.0, width)
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")  # [H, W]
+    ones = jnp.ones_like(grid_x)
+    base = jnp.stack([grid_x, grid_y, ones], axis=-1)  # [H, W, 3]
+    # [B, 2, 3] x [H, W, 3] -> [B, H, W, 2]
+    return jnp.einsum("bij,hwj->bhwi", theta, base)
+
+
+def bilinear_sample(images: jax.Array, grid: jax.Array) -> jax.Array:
+    """Sample NHWC ``images`` at ``grid`` [B, H', W', 2] ([-1,1] x/y coords).
+
+    Border pixels are clamped (vl_nnbilinearsampler convention).
+    Differentiable; lowers to fused XLA gathers.
+    """
+    b, h, w, c = images.shape
+    x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    wx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    wy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+
+    def gather(yi, xi):
+        # [B, H', W', C] via per-batch gather
+        bidx = jnp.arange(b)[:, None, None]
+        return images[bidx, yi, xi]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def identity_theta(batch: int) -> jax.Array:
+    eye = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    return jnp.tile(eye[None], (batch, 1, 1))
+
+
+def _compose(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Compose two [B, 2, 3] affines: result = a after b."""
+    a3 = jnp.concatenate(
+        [a, jnp.tile(jnp.asarray([[[0.0, 0.0, 1.0]]]), (a.shape[0], 1, 1))], axis=1
+    )
+    b3 = jnp.concatenate(
+        [b, jnp.tile(jnp.asarray([[[0.0, 0.0, 1.0]]]), (b.shape[0], 1, 1))], axis=1
+    )
+    return jnp.matmul(a3, b3)[:, :2, :]
+
+
+def random_augmentation_thetas(rng: jax.Array, batch: int,
+                               zoom_delta: float = 1.0 / 25.0,
+                               max_rotate: float = jnp.pi / 18.0,
+                               max_skew: float = 0.1,
+                               apply_prob: float = 0.5) -> jax.Array:
+    """Random zoom-rotate-skew affines (computeAugs equivalent).
+
+    Each sample gets an independent composed transform; with probability
+    ``1 - apply_prob`` the identity is used instead
+    (ferplus_baselines.m:194-199 applies augs to half the batch).
+    """
+    k_zoom, k_rot, k_skew, k_apply = jax.random.split(rng, 4)
+    zoom = 1.0 + jax.random.uniform(k_zoom, (batch,), minval=-zoom_delta,
+                                    maxval=zoom_delta)
+    angle = jax.random.uniform(k_rot, (batch,), minval=-max_rotate,
+                               maxval=max_rotate)
+    skew = jax.random.uniform(k_skew, (batch, 2), minval=-max_skew,
+                              maxval=max_skew)
+    zeros = jnp.zeros((batch,))
+    zoom_t = jnp.stack([
+        jnp.stack([zoom, zeros, zeros], axis=-1),
+        jnp.stack([zeros, zoom, zeros], axis=-1),
+    ], axis=1)
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    rot_t = jnp.stack([
+        jnp.stack([cos, -sin, zeros], axis=-1),
+        jnp.stack([sin, cos, zeros], axis=-1),
+    ], axis=1)
+    ones = jnp.ones((batch,))
+    skew_t = jnp.stack([
+        jnp.stack([ones, skew[:, 0], zeros], axis=-1),
+        jnp.stack([skew[:, 1], ones, zeros], axis=-1),
+    ], axis=1)
+    theta = _compose(_compose(zoom_t, rot_t), skew_t)
+    apply = jax.random.bernoulli(k_apply, apply_prob, (batch,))
+    return jnp.where(apply[:, None, None], theta, identity_theta(batch))
+
+
+def warp_images(images: jax.Array, theta: jax.Array,
+                out_height: int, out_width: int) -> jax.Array:
+    """Affine-warp + resize in one sampling pass (the reference's combined
+    augmentation/resize path)."""
+    grid = affine_grid(theta, out_height, out_width)
+    return bilinear_sample(images, grid)
+
+
+def resize_bilinear(images: jax.Array, out_height: int, out_width: int) -> jax.Array:
+    """Plain bilinear resize via the identity warp."""
+    return warp_images(images, identity_theta(images.shape[0]),
+                       out_height, out_width)

@@ -113,7 +113,7 @@ class Trainer:
 
     def __init__(self, model, loss_fn: LossFn, cfg: TrainConfig,
                  class_names: Sequence[str] = (),
-                 mesh=None, has_dropout: bool = False,
+                 mesh=None, rng_names: Sequence[str] = (),
                  eval_loss_fn: Optional[LossFn] = None):
         self.model = model
         self.cfg = cfg
@@ -123,7 +123,7 @@ class Trainer:
         has_bs = True
         self._train_step = make_train_step(model.apply, loss_fn, sgd,
                                            has_batch_stats=has_bs,
-                                           has_dropout=has_dropout)
+                                           rng_names=tuple(rng_names))
         self._eval_step = make_eval_step(model.apply, eval_loss_fn or loss_fn)
         if mesh is not None:
             from mcncrossmodalemotions_tpu.parallel.mesh import (

@@ -66,21 +66,24 @@ LossFn = Callable[[Any, Dict[str, jax.Array]], Tuple[jax.Array, Dict[str, jax.Ar
 def make_train_step(apply_fn: Callable, loss_fn: LossFn,
                     sgd: SGDConfig = SGDConfig(),
                     has_batch_stats: bool = True,
-                    has_dropout: bool = False):
+                    rng_names: Tuple[str, ...] = ()):
     """Build the jitted SGD+momentum train step.
 
     ``apply_fn(variables, data, train=..., mutable=..., rngs=...)`` is a
     Flax ``model.apply``; ``loss_fn`` computes loss+metrics from outputs.
-    Returns ``step(state, batch, lr) -> (state, metrics)``; ``lr`` is a
-    scalar so per-epoch LR arrays (run_distillation.m:82
-    ``logspace(-4,-5,300)``) need no recompilation.
+    ``rng_names`` lists the stochastic streams the model consumes in train
+    mode (e.g. ('dropout',), ('augment',)). Returns
+    ``step(state, batch, lr) -> (state, metrics)``; ``lr`` is a scalar so
+    per-epoch LR arrays (run_distillation.m:82 ``logspace(-4,-5,300)``)
+    need no recompilation.
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array], lr) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
         apply_kwargs = {}
-        if has_dropout:
-            apply_kwargs["rngs"] = {"dropout": step_rng}
+        if rng_names:
+            keys = jax.random.split(step_rng, len(rng_names))
+            apply_kwargs["rngs"] = dict(zip(rng_names, keys))
 
         def compute(params):
             if has_batch_stats:

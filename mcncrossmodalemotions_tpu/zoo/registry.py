@@ -1,0 +1,125 @@
+"""Model + loss registry (emoVoxZoo.m / ferPlusZoo.m equivalents)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mcncrossmodalemotions_tpu import EMOTIONS
+from mcncrossmodalemotions_tpu.losses import (
+    class_error,
+    distillation_ce,
+    distribution_ce,
+    euclidean_loss,
+    huber_loss,
+    per_class_stats,
+    softmax_ce,
+)
+from mcncrossmodalemotions_tpu.models.pipeline import AudioStudentPipeline
+from mcncrossmodalemotions_tpu.models.resnet import ResNet, ResNet50, SENet50
+from mcncrossmodalemotions_tpu.models.vggm import VGGMStudent
+from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC, SpecConfig
+
+STUDENT_MODELS = ("emovoxceleb-student",)
+TEACHER_MODELS = ("resnet50-ferplus", "senet50-ferplus")
+
+
+def build_student(name: str = "emovoxceleb-student", *,
+                  num_outputs: int = 8,
+                  dropout: float = 0.0,
+                  spec: SpecConfig = DEFAULT_SPEC,
+                  with_frontend: bool = True,
+                  use_pallas_frontend: bool = False,
+                  tiny: bool = False):
+    """Student zoo (emoVoxZoo.m:25-31 names; scratch init path :202-243).
+
+    ``with_frontend=True`` returns the waveform->logits pipeline module;
+    False returns the bare spectrogram-input VGG-M. ``tiny`` builds a
+    width-reduced variant for tests/dev (the opts.dev pattern).
+    """
+    if name not in STUDENT_MODELS:
+        raise KeyError(f"unknown student {name!r}; known: {STUDENT_MODELS}")
+    kw = dict(num_outputs=num_outputs, dropout_rate=dropout)
+    if tiny:
+        kw.update(fc6_features=64, fc7_features=32)
+    student = VGGMStudent(**kw)
+    if with_frontend:
+        return AudioStudentPipeline(
+            spec=spec, num_outputs=num_outputs, dropout_rate=dropout,
+            use_pallas_frontend=use_pallas_frontend, student=student,
+        )
+    return student
+
+
+def build_teacher(name: str = "senet50-ferplus", *,
+                  num_outputs: int = 8,
+                  tiny: bool = False) -> ResNet:
+    """Teacher zoo (ferPlusZoo.m:37-92 registry, 8-way CNTK head)."""
+    if name not in TEACHER_MODELS:
+        raise KeyError(f"unknown teacher {name!r}; known: {TEACHER_MODELS}")
+    use_se = name.startswith("senet")
+    if tiny:
+        return ResNet(stage_sizes=(1, 1), width=8, use_se=use_se,
+                      num_outputs=num_outputs)
+    return SENet50(num_outputs=num_outputs) if use_se else ResNet50(
+        num_outputs=num_outputs)
+
+
+def student_loss_fn(loss_type: str = "hot-cross-ent", *,
+                    temperature: float = 2.0,
+                    num_classes: int = 8) -> Callable:
+    """Student distillation loss stack (emoVoxZoo.m:137-169).
+
+    Every variant also reports the reference's metric layers: classerror
+    vs the teacher's max label (VerboseLoss) + per-class stats
+    (ErrorStats).
+    """
+
+    def loss_fn(logits, batch):
+        labels = batch["max_label"]
+        if loss_type == "hot-cross-ent":
+            loss = distillation_ce(logits, batch["logit_target"], temperature)
+        elif loss_type == "euclidean":
+            loss = euclidean_loss(logits, batch["logit_target"],
+                                  batch.get("instance_weights"))
+        elif loss_type == "huber":
+            loss = huber_loss(logits, batch["logit_target"], sigma=1.0)
+        elif loss_type == "softmaxlog":
+            loss = softmax_ce(logits, labels)
+        else:
+            raise ValueError(f"unknown loss_type {loss_type!r}")
+        correct, pop = per_class_stats(logits, labels, num_classes)
+        metrics = {
+            "classerror": class_error(logits, labels),
+            "class_correct": correct,
+            "class_pop": pop,
+        }
+        return loss, metrics
+
+    return loss_fn
+
+
+def teacher_loss_fn(loss_type: str = "distributions",
+                    num_classes: int = 8) -> Callable:
+    """Teacher loss stack (ferPlusZoo.m:239-255): 'distributions' CE vs
+    rater-vote distributions (classerror vs hard label) or 'softmaxlog'."""
+
+    def loss_fn(logits, batch):
+        hard = batch["hard_label"]
+        if loss_type == "distributions":
+            loss = distribution_ce(logits, batch["label_dist"])
+        elif loss_type == "softmaxlog":
+            loss = softmax_ce(logits, hard)
+        else:
+            raise ValueError(f"unknown loss_type {loss_type!r}")
+        correct, pop = per_class_stats(logits, hard, num_classes)
+        metrics = {
+            "classerror": class_error(logits, hard),
+            "class_correct": correct,
+            "class_pop": pop,
+        }
+        return loss, metrics
+
+    return loss_fn

@@ -1,0 +1,180 @@
+"""Data layer: wav IO, imdb schemas, batchers, csv parsing, adapters."""
+
+import numpy as np
+import pytest
+
+from mcncrossmodalemotions_tpu.data.audio import (
+    read_wav,
+    speed_perturb,
+    wav_info,
+    write_wav,
+)
+from mcncrossmodalemotions_tpu.data.emovox import (
+    BatchConfig,
+    EmoVoxBatcher,
+    aggregate_logits,
+    build_synthetic_imdb,
+    load_crop,
+    time_to_logit_idx,
+)
+from mcncrossmodalemotions_tpu.data.ferplus import (
+    build_synthetic_ferplus,
+    ferplus_batches,
+    parse_ferplus_csvs,
+    vote_distributions,
+)
+from mcncrossmodalemotions_tpu.data.imdb import EmoVoxImdb, FerPlusImdb, TrackImdb
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    samples = (rng.rand(32000).astype(np.float32) - 0.5) * 0.9
+    path = tmp_path / "a.wav"
+    write_wav(path, samples, 16000)
+    info = wav_info(path)
+    assert info.num_samples == 32000
+    assert info.sample_rate == 16000
+    back, fs = read_wav(path)
+    assert fs == 16000
+    np.testing.assert_allclose(back, samples, atol=1.0 / 32000)
+
+
+def test_wav_segment_read_matches_full(tmp_path, rng):
+    """Random-access reads == slicing the full decode (audioread parity)."""
+    samples = (rng.rand(10000).astype(np.float32) - 0.5)
+    path = tmp_path / "seg.wav"
+    write_wav(path, samples, 16000)
+    full, _ = read_wav(path)
+    seg, _ = read_wav(path, start=1234, num_samples=2000)
+    np.testing.assert_array_equal(seg, full[1234:3234])
+
+
+def test_speed_perturb_changes_length(rng):
+    x = rng.randn(16000).astype(np.float32)
+    slower = speed_perturb(x, 0.95)
+    faster = speed_perturb(x, 1.05)
+    assert len(slower) > len(x) > len(faster)
+
+
+def test_time_to_logit_idx():
+    # fps=25, stride=6: logit frames at ~0.24 s spacing
+    assert time_to_logit_idx(0.0, 100) == 0
+    assert time_to_logit_idx(0.24, 100) == 1
+    assert time_to_logit_idx(4.0, 100) == 16
+    assert time_to_logit_idx(999.0, 10) == 9  # clipped
+
+
+def test_aggregate_logits_max_and_mean():
+    logits = np.asarray([[0.0, 1.0], [2.0, 0.0], [1.0, 3.0]], np.float32)
+    np.testing.assert_array_equal(
+        aggregate_logits(logits, 0.0, 0.7, "max"), [2.0, 3.0])
+    np.testing.assert_allclose(
+        aggregate_logits(logits, 0.0, 0.7, "mean"), [1.0, 4.0 / 3.0])
+
+
+def test_load_crop_shapes_and_determinism(tmp_path, rng):
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+
+    path = tmp_path / "c.wav"
+    write_wav(path, rng.randn(16000 * 6).astype(np.float32) * 0.2, 16000)
+    cfg = BatchConfig(batch_size=2)
+    # val path (rng=None) is deterministic and start-anchored
+    a, t0a, _ = load_crop(path, cfg, rng=None)
+    b, t0b, _ = load_crop(path, cfg, rng=None)
+    assert len(a) == cfg.crop_samples == 64384
+    assert t0a == t0b == 0.0
+    np.testing.assert_array_equal(a, b)
+    # short clip is zero-padded
+    short = tmp_path / "short.wav"
+    write_wav(short, rng.randn(8000).astype(np.float32) * 0.2, 16000)
+    s, _, _ = load_crop(short, cfg, rng=None)
+    assert len(s) == cfg.crop_samples
+    assert np.all(s[8000:] == 0)
+
+
+def test_synthetic_imdb_and_batcher(tmp_path):
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=3)
+    assert imdb.num_tracks == 6
+    cfg = BatchConfig(batch_size=4)
+    batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=0)
+    batches = list(batcher.batches(epoch=1))
+    assert batches[0]["data"].shape == (4, 64384)
+    assert batches[0]["logit_target"].shape == (4, 8)
+    assert batches[0]["max_label"].shape == (4,)
+    # epoch shuffling is reproducible
+    i1 = batcher.epoch_indices(3)
+    i2 = batcher.epoch_indices(3)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_emovox_imdb_roundtrip(tmp_path):
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=2)
+    imdb.save(tmp_path / "imdb.npz")
+    back = EmoVoxImdb.load(tmp_path / "imdb.npz")
+    assert back.num_tracks == imdb.num_tracks
+    np.testing.assert_array_equal(back.set_id, imdb.set_id)
+    np.testing.assert_allclose(back.wav_logits[0], imdb.wav_logits[0])
+
+
+def test_ferplus_csv_parsing(tmp_path):
+    fer_csv = tmp_path / "fer2013.csv"
+    plus_csv = tmp_path / "fer2013new.csv"
+    pix = " ".join(["10"] * (48 * 48))
+    fer_csv.write_text(
+        "emotion,pixels,Usage\n"
+        f"0,{pix},Training\n"
+        f"3,{pix},PublicTest\n"
+        f"2,{pix},PrivateTest\n"
+    )
+    plus_csv.write_text(
+        "Usage,Image name,neutral,happiness,surprise,sadness,anger,disgust,fear,contempt,unknown,NF\n"
+        "Training,fer0000000.png,8,1,0,0,0,0,0,0,1,0\n"
+        "PublicTest,fer0000001.png,0,9,0,0,0,0,0,0,0,1\n"
+        "PrivateTest,fer0000002.png,0,0,0,0,0,0,0,0,5,5\n"  # all NF/unknown -> dropped
+    )
+    imdb = parse_ferplus_csvs(fer_csv, plus_csv)
+    assert imdb.num_images == 2  # third row dropped
+    assert imdb.data.shape == (2, 48, 48, 1)
+    np.testing.assert_array_equal(imdb.hard_labels, [0, 1])
+    np.testing.assert_array_equal(imdb.set_id, [1, 2])
+    dists = vote_distributions(imdb.votes)
+    np.testing.assert_allclose(dists.sum(axis=1), 1.0)
+    assert dists[0, 0] == pytest.approx(8 / 9)
+
+
+def test_ferplus_synthetic_batches():
+    imdb = build_synthetic_ferplus(40)
+    batches = list(ferplus_batches(imdb, 1, 8))
+    assert batches[0]["data"].dtype == np.uint8
+    assert batches[0]["label_dist"].shape == (8, 8)
+    np.testing.assert_allclose(batches[0]["label_dist"].sum(axis=1), 1.0,
+                               atol=1e-6)
+
+
+def test_external_adapters(tmp_path):
+    from mcncrossmodalemotions_tpu.data.external import (
+        AFEW_CLASSES,
+        build_synthetic_track_imdb,
+        get_afew_imdb,
+    )
+
+    rml = build_synthetic_track_imdb(tmp_path / "rml", tracks_per_class=2)
+    assert rml.num_tracks == 12
+    assert len(set(rml.labels.tolist())) == 6
+    afew = build_synthetic_track_imdb(tmp_path / "afew",
+                                      classes=AFEW_CLASSES,
+                                      tracks_per_class=3, afew_layout=True)
+    assert set(afew.set_id.tolist()) == {1, 2}
+    assert afew.num_tracks == 21
+
+
+def test_track_imdb_roundtrip(tmp_path):
+    from mcncrossmodalemotions_tpu.data.external import build_synthetic_track_imdb
+
+    imdb = build_synthetic_track_imdb(tmp_path / "rml", tracks_per_class=1)
+    imdb.logits = [np.zeros((2, 8), np.float32)] * imdb.num_tracks
+    imdb.save(tmp_path / "t.npz")
+    back = TrackImdb.load(tmp_path / "t.npz")
+    assert back.num_tracks == imdb.num_tracks
+    assert back.logits[0].shape == (2, 8)

@@ -1,0 +1,90 @@
+"""ROC/AUC and multinomial-regression utilities vs hand computations."""
+
+import numpy as np
+import pytest
+
+from mcncrossmodalemotions_tpu.utils.mnr import mnrfit, mnrval
+from mcncrossmodalemotions_tpu.utils.roc import auc_score, roc_curve
+
+
+def test_auc_perfect_separation():
+    labels = np.array([1, 1, -1, -1])
+    scores = np.array([0.9, 0.8, 0.2, 0.1])
+    assert auc_score(labels, scores) == pytest.approx(1.0)
+
+
+def test_auc_random_is_half():
+    rng = np.random.RandomState(0)
+    labels = np.where(rng.rand(4000) > 0.5, 1, -1)
+    scores = rng.rand(4000)
+    assert auc_score(labels, scores) == pytest.approx(0.5, abs=0.03)
+
+
+def test_auc_equals_rank_statistic(rng):
+    """AUC == P(score_pos > score_neg) (Mann-Whitney)."""
+    labels = np.where(rng.rand(200) > 0.6, 1, -1)
+    scores = rng.randn(200) + 0.5 * (labels > 0)
+    pos = scores[labels > 0]
+    neg = scores[labels < 0]
+    mw = np.mean(pos[:, None] > neg[None, :]) + 0.5 * np.mean(
+        pos[:, None] == neg[None, :]
+    )
+    assert auc_score(labels, scores) == pytest.approx(mw, abs=1e-9)
+
+
+def test_roc_curve_monotone(rng):
+    labels = np.where(rng.rand(100) > 0.5, 1, -1)
+    scores = rng.randn(100)
+    tpr, fpr, _ = roc_curve(labels, scores)
+    assert np.all(np.diff(tpr) >= 0)
+    assert np.all(np.diff(fpr) >= 0)
+    assert tpr[0] == 0 and tpr[-1] == 1 and fpr[-1] == 1
+
+
+def test_auc_degenerate_returns_nan():
+    assert np.isnan(auc_score(np.array([1, 1]), np.array([0.2, 0.3])))
+
+
+def test_mnrfit_recovers_separable_mapping(rng):
+    """3-class problem with a known linear map: near-perfect accuracy."""
+    n = 600
+    x = rng.randn(n, 4).astype(np.float64)
+    true_w = np.array([[2.0, 0, -1, 0], [0, 2.0, 1, 0], [-2.0, -2.0, 0, 1]])
+    y = (x @ true_w.T + 0.3 * rng.randn(n, 3)).argmax(axis=1)
+    beta = mnrfit(x, y, num_classes=3)
+    probs = mnrval(beta, x)
+    acc = (probs.argmax(axis=1) == y).mean()
+    assert acc > 0.9
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_mnrfit_matches_sklearn_style_gradient_zero(rng):
+    """At the optimum the (ridge-adjusted) score equation holds."""
+    n = 300
+    x = rng.randn(n, 3)
+    y = rng.randint(0, 3, n)
+    beta = mnrfit(x, y, num_classes=3, ridge=1e-6)
+    xd = np.concatenate([np.ones((n, 1)), x], axis=1)
+    probs = mnrval(beta, x)
+    onehot = np.eye(3)[y][:, :2]
+    grad = xd.T @ (onehot - probs[:, :2]) - 1e-6 * beta
+    assert np.max(np.abs(grad)) < 1e-5
+
+
+def test_mnrval_reference_class_convention():
+    """Last class is the reference: zero beta -> uniform probabilities."""
+    beta = np.zeros((3, 2))
+    probs = mnrval(beta, np.random.randn(5, 2))
+    np.testing.assert_allclose(probs, 1.0 / 3.0, atol=1e-12)
+
+
+def test_mnr_binary_matches_logistic(rng):
+    """T=2 reduces to standard logistic regression."""
+    n = 400
+    x = rng.randn(n, 2)
+    logits = 1.5 * x[:, 0] - 2.0 * x[:, 1] + 0.5
+    y = (rng.rand(n) < 1 / (1 + np.exp(-logits))).astype(int)
+    # class 0 = positive in mnr layout (last class = reference)
+    beta = mnrfit(x, 1 - y, num_classes=2)
+    # beta estimates the log-odds of class 0 (=y==1) vs class 1
+    np.testing.assert_allclose(beta[:, 0], [0.5, 1.5, -2.0], atol=0.5)

@@ -1,0 +1,206 @@
+"""Experiment drivers end-to-end on synthetic data (tiny models, CPU).
+
+Covers the reference's test mechanisms upgraded to real tests
+(SURVEY.md section 4): pipeline tests on synthetic mini-imdbs, the
+random-model statistical null test, determinism pins.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from mcncrossmodalemotions_tpu import EMOTIONS
+from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+from mcncrossmodalemotions_tpu.data.external import (
+    build_synthetic_track_imdb,
+)
+from mcncrossmodalemotions_tpu.data.ferplus import build_synthetic_ferplus
+
+
+@pytest.fixture(scope="module")
+def emovox_imdb(tmp_path_factory):
+    root = tmp_path_factory.mktemp("emovox")
+    return build_synthetic_imdb(root / "wavs", num_speakers=3,
+                                tracks_per_speaker=4)
+
+
+def test_distillation_driver_end_to_end(emovox_imdb, tmp_path):
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+
+    cfg = DistillationConfig(num_epochs=2, batch_size=4, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             out_root=str(tmp_path / "exps"))
+    state, history, exp_dir = run_distillation(cfg, imdb=emovox_imdb)
+    assert len(history) == 2
+    assert (exp_dir / "net-epoch-2.msgpack").exists()
+    assert (exp_dir / "metrics.jsonl").exists()
+    assert any(exp_dir.glob("meta-*.json"))
+    # distillation loss is finite and in the plausible CE range
+    assert 0 < history[-1]["train"]["loss"] < 10
+
+
+def test_distillation_resume(emovox_imdb, tmp_path):
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+
+    kw = dict(batch_size=4, tiny_model=True, mini_epoch_ratio=1.0,
+              mini_val=1.0, out_root=str(tmp_path / "exps"))
+    cfg = DistillationConfig(num_epochs=1, **kw)
+    run_distillation(cfg, imdb=emovox_imdb)
+    cfg2 = DistillationConfig(num_epochs=2, **kw)
+    _, history, _ = run_distillation(cfg2, imdb=emovox_imdb)
+    assert [h["epoch"] for h in history] == [2]
+
+
+def test_ferplus_driver_and_eval_only(tmp_path):
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+    )
+
+    imdb = build_synthetic_ferplus(60)
+    cfg = FerPlusConfig(batch_size=16, tiny_model=True, input_size=48,
+                        dropout=0.0, lr_values=(0.05,), lr_epochs=(2,),
+                        out_root=str(tmp_path))
+    _, history = ferplus_baselines(cfg, imdb)
+    assert len(history) == 2
+    _, stats = ferplus_baselines(cfg, imdb, evaluate_only="test")
+    assert 0.0 <= stats["accuracy"] <= 1.0
+    assert stats["accuracy"] == pytest.approx(1.0 - stats["classerror"])
+
+
+def test_benchmark_ferplus_models_caching(tmp_path):
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        benchmark_ferplus_models,
+        ferplus_baselines,
+    )
+
+    imdb = build_synthetic_ferplus(40)
+    base = FerPlusConfig(batch_size=16, tiny_model=True, input_size=48,
+                         dropout=0.0, lr_values=(0.05,), lr_epochs=(1,),
+                         out_root=str(tmp_path))
+    # train one epoch for both models first so eval finds checkpoints
+    import dataclasses as dc
+
+    for model_name, loss in (("resnet50-ferplus", "softmaxlog"),
+                             ("senet50-ferplus", "distributions")):
+        cfg = dc.replace(base, model=model_name, loss_type=loss)
+        ferplus_baselines(cfg, imdb)
+    results = benchmark_ferplus_models(
+        imdb, out_root=str(tmp_path), tiny_model=True, base_cfg=base,
+        cache_dir=str(tmp_path / "cache"))
+    assert set(results) == {"resnet50-ferplus", "senet50-ferplus"}
+    # cached second call returns identical numbers without recompute
+    again = benchmark_ferplus_models(
+        imdb, out_root=str(tmp_path), tiny_model=True, base_cfg=base,
+        cache_dir=str(tmp_path / "cache"))
+    assert again == results
+
+
+def test_random_model_null_baseline(tmp_path):
+    """The statistical sanity test (emo_benchmarks.m:21-24): random
+    features score ~1/6 on a 6-class benchmark."""
+    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+        compute_audio_feats,
+    )
+    from mcncrossmodalemotions_tpu.exp.emo_benchmarks import emo_benchmarks
+
+    imdb = build_synthetic_track_imdb(tmp_path / "rml", tracks_per_class=30)
+    logits = compute_audio_feats(imdb, model_name="random", num_classes=8)
+    results = emo_benchmarks({
+        "rml": dict(track_logits=logits, labels=imdb.labels,
+                    classes=imdb.classes),
+    }, num_folds=5)
+    acc = results["rml"].mean_accuracy
+    assert 0.05 < acc < 0.33, f"random-model accuracy {acc} outside null range"
+
+
+def test_cross_val_learns_linear_mapping(tmp_path):
+    """Features carrying the label linearly -> near-perfect CV accuracy."""
+    from mcncrossmodalemotions_tpu.exp.emo_benchmarks import emo_benchmarks
+
+    rng = np.random.RandomState(0)
+    n_per, t = 20, 6
+    labels = np.repeat(np.arange(t), n_per)
+    logits = [rng.randn(3, 8).astype(np.float32) * 0.1 for _ in labels]
+    for i, lab in enumerate(labels):
+        logits[i][:, lab] += 3.0
+    results = emo_benchmarks({
+        "synth": dict(track_logits=logits, labels=labels,
+                      classes=[f"c{i}" for i in range(t)]),
+    }, num_folds=5)
+    assert results["synth"].mean_accuracy > 0.9
+    conf = results["synth"].confusion
+    assert np.trace(conf) / t > 0.9
+
+
+def test_afew_adjustment_factor():
+    from mcncrossmodalemotions_tpu.exp.emo_benchmarks import emo_benchmarks
+
+    rng = np.random.RandomState(0)
+    labels = np.repeat(np.arange(3), 20)
+    logits = [np.eye(3, 8, dtype=np.float32)[lab:lab + 1] * 5 for lab in labels]
+    val_idx = np.arange(0, 60, 3)
+    results = emo_benchmarks({
+        "afew": dict(track_logits=logits, labels=labels,
+                     classes=["a", "b", "c"], val_idx=val_idx),
+    })
+    # perfectly separable -> accuracy == the 381/383 adjustment exactly
+    assert results["afew"].mean_accuracy == pytest.approx(381 / 383)
+
+
+def test_student_stats_on_synthetic(emovox_imdb, tmp_path):
+    """Perfect student (scores == teacher labels) -> AUC 1; random -> ~0.5."""
+    from mcncrossmodalemotions_tpu.exp.student_stats import (
+        student_stats,
+        teacher_labels,
+    )
+
+    labels = teacher_labels(emovox_imdb)
+    perfect = [np.eye(8, dtype=np.float32)[lab:lab + 1] * 5 for lab in labels]
+    results = student_stats(emovox_imdb, student_logits=perfect,
+                            cache_path=str(tmp_path / "aucs.json"))
+    for part, aucs in results.items():
+        for emotion, auc in aucs.items():
+            if emotion != "meanAuc" and not np.isnan(auc):
+                assert auc == pytest.approx(1.0), (part, emotion)
+    # cache round-trip
+    again = student_stats(emovox_imdb, student_logits=None,
+                          cache_path=str(tmp_path / "aucs.json"))
+    assert again.keys() == results.keys()
+
+
+def test_teacher_stats_histogram(emovox_imdb, tmp_path):
+    from mcncrossmodalemotions_tpu.exp.teacher_stats import teacher_stats
+
+    hists = teacher_stats(emovox_imdb,
+                          fig_path=str(tmp_path / "hist.pdf"))
+    assert hists["emovoxceleb"].sum() == emovox_imdb.num_tracks
+    assert (tmp_path / "hist.pdf").exists()
+
+
+def test_sample_audio(emovox_imdb, tmp_path):
+    from mcncrossmodalemotions_tpu.exp.sample_audio import sample_audio
+
+    out = tmp_path / "samples"
+    sampled = sample_audio(emovox_imdb, out, per_emotion=2,
+                           make_figures=False)
+    total = sum(len(v) for v in sampled.values())
+    assert total > 0
+    # wavs + meta.txt written for sampled emotions
+    for emotion, picks in sampled.items():
+        if picks:
+            assert (out / emotion / "meta.txt").exists()
+    # refuses to overwrite without the flag
+    with pytest.raises(FileExistsError):
+        sample_audio(emovox_imdb, out, per_emotion=1)
+    # deterministic with the same seed
+    again = sample_audio(emovox_imdb, tmp_path / "samples2", per_emotion=2,
+                         make_figures=False)
+    assert again == sampled

@@ -1,0 +1,151 @@
+"""Feature extractors: bucketed audio inference, visual inference,
+dense imdb build (compute_audio_feats / compute_visual_feats /
+fetch_emovoxceleb_imdb equivalents)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+    AudioFeatureExtractor,
+    bucket_for,
+    compute_audio_feats,
+    pad_frames_shape,
+)
+
+
+def test_bucket_selection():
+    assert bucket_for(100) == 100
+    assert bucket_for(399) == 300
+    assert bucket_for(1000) == 1000
+    assert bucket_for(1990) == 1000
+    assert bucket_for(50) == 100  # minimum bucket
+    assert pad_frames_shape(399) == 400
+    assert pad_frames_shape(1990) == 2000
+
+
+@pytest.fixture(scope="module")
+def tiny_student():
+    from mcncrossmodalemotions_tpu.zoo import build_student
+
+    model = build_student(tiny=True, with_frontend=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 512, 100, 1)))
+    return model, variables
+
+
+def test_audio_extractor_variable_lengths(tmp_path, tiny_student, rng):
+    """Tracks of different durations produce per-track [1, 8] logits."""
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+
+    model, variables = tiny_student
+    paths = []
+    for i, seconds in enumerate([1.5, 3.0, 4.5]):
+        p = tmp_path / f"t{i}.wav"
+        write_wav(p, rng.randn(int(16000 * seconds)).astype(np.float32) * 0.2,
+                  16000)
+        paths.append(str(p))
+    extractor = AudioFeatureExtractor(model, variables, batch_size=2)
+    logits = extractor.track_logits(paths, verbose=False)
+    assert len(logits) == 3
+    for l in logits:
+        assert l.shape == (1, 8)
+        assert np.all(np.isfinite(l))
+
+
+def test_audio_extractor_batching_invariance(tmp_path, tiny_student, rng):
+    """Same tracks, different batch size -> identical logits."""
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+
+    model, variables = tiny_student
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"b{i}.wav"
+        write_wav(p, rng.randn(16000 * 3).astype(np.float32) * 0.2, 16000)
+        paths.append(str(p))
+    a = AudioFeatureExtractor(model, variables, batch_size=1).track_logits(
+        paths, verbose=False)
+    b = AudioFeatureExtractor(model, variables, batch_size=4).track_logits(
+        paths, verbose=False)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-2)
+
+
+def test_compute_audio_feats_caching(tmp_path, rng):
+    from mcncrossmodalemotions_tpu.data.external import build_synthetic_track_imdb
+
+    imdb = build_synthetic_track_imdb(tmp_path / "rml", tracks_per_class=1)
+    feat_path = tmp_path / "feats.npz"
+    a = compute_audio_feats(imdb, model_name="random", num_classes=8,
+                            feat_path=str(feat_path))
+    assert feat_path.exists()
+    b = compute_audio_feats(imdb, model_name="random", num_classes=8,
+                            feat_path=str(feat_path), seed=123)
+    # second call hits the cache: identical despite different seed
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+@pytest.fixture(scope="module")
+def tiny_teacher_pipeline():
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        build_pipeline,
+    )
+
+    cfg = FerPlusConfig(tiny_model=True, input_size=48, dropout=0.0,
+                        augment=False)
+    model = build_pipeline(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1), jnp.uint8))
+    return model, variables
+
+
+def test_visual_extractor_and_regrouping(tmp_path, tiny_teacher_pipeline):
+    from mcncrossmodalemotions_tpu.data.images import save_synthetic_frame
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        compute_visual_feats,
+    )
+    from mcncrossmodalemotions_tpu.data.external import build_synthetic_track_imdb
+
+    model, variables = tiny_teacher_pipeline
+    imdb = build_synthetic_track_imdb(tmp_path / "rml", tracks_per_class=1,
+                                      with_frames=True)
+    logits = compute_visual_feats(imdb, model=model, variables=variables,
+                                  batch_size=4, verbose=False)
+    assert len(logits) == imdb.num_tracks
+    for track_frames, track_logits in zip(imdb.frame_paths, logits):
+        assert track_logits.shape == (len(track_frames), 8)
+
+
+def test_fetch_emovoxceleb_imdb_build(tmp_path, tiny_teacher_pipeline):
+    """Dense-inference imdb genesis: frames registered to wavs, per-wav
+    logit matrices, frameless tracks dropped."""
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+    from mcncrossmodalemotions_tpu.data.images import save_synthetic_frame
+    from mcncrossmodalemotions_tpu.exp.fetch_emovoxceleb_imdb import (
+        fetch_emovoxceleb_imdb,
+    )
+
+    model, variables = tiny_teacher_pipeline
+    root = tmp_path / "voxceleb"
+    rng = np.random.RandomState(0)
+    for s in range(2):
+        for t in range(2):
+            rel = f"spk{s}/track{t}"
+            write_wav(root / "wavs" / (rel + ".wav"),
+                      rng.randn(16000).astype(np.float32) * 0.2, 16000)
+            if not (s == 1 and t == 1):  # leave one track frameless
+                for k in range(2):
+                    save_synthetic_frame(
+                        root / "frames" / rel / f"{k:02d}.jpg", s * 2 + t)
+    cache = tmp_path / "imdb.npz"
+    imdb = fetch_emovoxceleb_imdb(root, model, variables,
+                                  cache_path=str(cache), verbose=False)
+    assert imdb.num_tracks == 3  # frameless track dropped
+    assert imdb.wav_logits[0].shape == (2, 8)
+    assert cache.exists()
+    # second fetch hits the in-memory cache (same object)
+    again = fetch_emovoxceleb_imdb(root, cache_path=str(cache))
+    assert again is imdb
