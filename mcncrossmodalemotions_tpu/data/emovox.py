@@ -172,10 +172,18 @@ class EmoVoxBatcher:
         idx = self.epoch_indices(epoch, epoch_size)
         rng = np.random.RandomState(self.seed * 1000 + epoch) if self.train else None
         wav_root = Path(self.imdb.wav_dir)
+        use_native = False
+        if not (self.train and (cfg.speed_aug or cfg.noise_aug)):
+            from mcncrossmodalemotions_tpu.data import native as native_ds
+
+            use_native = native_ds.available()
         for i in range(0, len(idx), cfg.batch_size):
             chunk = idx[i:i + cfg.batch_size]
             if drop_remainder and len(chunk) < cfg.batch_size:
                 break
+            if use_native:
+                yield self._native_batch(chunk, rng, wav_root)
+                continue
             waves, targets = [], []
             for j in chunk:
                 noise_path = None
@@ -195,6 +203,34 @@ class EmoVoxBatcher:
             for key in targets[0]:
                 batch[key] = np.stack([t[key] for t in targets])
             yield batch
+
+    def _native_batch(self, chunk, rng, wav_root: Path) -> Dict[str, np.ndarray]:
+        """Threaded C++ fast path: batched segment reads (no host resample
+        needed when speed/noise augmentation are off)."""
+        from mcncrossmodalemotions_tpu.data import native as native_ds
+
+        cfg = self.cfg
+        fs = cfg.spec.sample_rate
+        need = cfg.crop_samples
+        paths, starts, targets = [], [], []
+        for j in chunk:
+            path = str(wav_root / self.imdb.wav_paths[j])
+            num_samples = native_ds.wav_info(path)[0]
+            total = min(num_samples, int(MAX_CLIP_SECONDS * fs))
+            max_start = max(total - need, 0)
+            start = int(rng.randint(0, max_start + 1)) if (
+                rng is not None and max_start > 0) else 0
+            paths.append(path)
+            starts.append(start)
+            t0 = start / fs
+            window = aggregate_logits(
+                self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
+                cfg.logit_aggregator)
+            targets.append(make_targets(window, cfg))
+        batch = {"data": native_ds.read_crops(paths, starts, need)}
+        for key in targets[0]:
+            batch[key] = np.stack([t[key] for t in targets])
+        return batch
 
 
 def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,

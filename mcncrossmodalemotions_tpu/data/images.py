@@ -23,9 +23,32 @@ import numpy as np
 CROP_RATIO = 1.0 / 1.6  # fetch_emovoxceleb_imdb.m:169 CropSize
 
 
+def resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Align-corners bilinear resize — the framework's canonical sampling
+    convention, matching both the on-device warp (ops/warp.py) and the C++
+    data service. (PIL's antialiased resize differs and is not used.)"""
+    h, w = img.shape[:2]
+    fy = (np.arange(out_h) * ((h - 1) / (out_h - 1) if out_h > 1 else 0.0))
+    fx = (np.arange(out_w) * ((w - 1) / (out_w - 1) if out_w > 1 else 0.0))
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    img = img.astype(np.float64)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def load_face_frame(path: str | Path, out_size: int = 224,
                     crop_ratio: float = CROP_RATIO) -> np.ndarray:
-    """Decode + center-crop + bilinear resize + grayscale -> [S, S, 1] uint8."""
+    """Decode + center-crop + bilinear resize + grayscale -> [S, S, 1] uint8.
+
+    Pure-Python reference path for the C++ data service (PIL decodes; the
+    crop/resize/gray math mirrors native/dataservice.cc exactly).
+    """
     from PIL import Image
 
     with Image.open(path) as img:
@@ -35,16 +58,25 @@ def load_face_frame(path: str | Path, out_size: int = 224,
         left = (w - cw) // 2
         top = (h - ch) // 2
         img = img.crop((left, top, left + cw, top + ch))
-        img = img.resize((out_size, out_size), Image.BILINEAR)
-        rgb = np.asarray(img, np.float32)
+        rgb = np.asarray(img, np.float64)
+    resized = resize_bilinear_np(rgb, out_size, out_size)
     # ITU-R 601 luma (MATLAB rgb2gray coefficients)
-    gray = rgb @ np.asarray([0.2989, 0.5870, 0.1140], np.float32)
+    gray = resized @ np.asarray([0.2989, 0.5870, 0.1140])
     return np.clip(np.round(gray), 0, 255).astype(np.uint8)[..., None]
 
 
 def load_frame_batch(paths: Sequence[str | Path], out_size: int = 224,
                      num_threads: int = 8) -> np.ndarray:
-    """Threaded batch decode (the vl_imreadjpeg NumThreads analogue)."""
+    """Threaded batch decode (the vl_imreadjpeg NumThreads analogue).
+
+    Uses the C++ data service when built (same decode+crop+resize+gray
+    semantics, tested for agreement); falls back to PIL threads.
+    """
+    from mcncrossmodalemotions_tpu.data import native
+
+    if native.available():
+        return native.decode_faces([str(p) for p in paths], out_size,
+                                   CROP_RATIO, num_threads)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=num_threads) as pool:

@@ -1,20 +1,27 @@
 """Fused Pallas TPU kernel for the spectrogram frontend.
 
 Computes framing + Hamming window + 512-point DFT magnitude in a single
-kernel: the waveform tile is DMA'd HBM->VMEM once, frames are materialised
-only in VMEM via static overlapping slices of a (rows, hop) reshape, and
-the DFT runs as one [T_tile, 400] x [400, 512] MXU matmul per tile. This
-avoids writing the intermediate frames tensor (T*400 floats per utterance,
-2.5x the input) to HBM, which is what a naive XLA lowering does.
+kernel, so the intermediate frames tensor (T*400 floats per utterance,
+2.5x the input) never exists in HBM — a naive XLA lowering materialises
+it between the gather and the matmul.
 
 Equivalent semantics to ops/spectrogram.spectrogram (VGGVox runSpec,
 getBatchEmoVoxCeleb.m:162); unit tests assert numerical agreement.
 
-Framing trick: with hop=160, win=400, reshape the tile's samples to rows
-of 160; frame t is rows [t, t+1, t+2[:80]] concatenated — three *static*
-slices, no gather:
+Mosaic-friendly framing: with hop=160 and win=400, frame t spans sample
+rows [t, t+1, t+2[:80]] of a (rows, hop) waveform layout. Instead of
+concatenating those three slices (Mosaic rejects concats whose operands
+sit at different sublane offsets), the windowed DFT matmul is decomposed
+into three row-block matmuls:
 
-    frames = concat(A[0:T], A[1:T+1], A[2:T+2, :80], axis=1)  # [T, 400]
+    spec[t] = A[t]   @ M[0:hop]            (rows DMA'd at offset 0)
+            + A[t+1] @ M[hop:2*hop]        (rows DMA'd at offset 1)
+            + A[t+2] @ M[2*hop:3*hop]      (rows DMA'd at offset 2)
+
+where M is the [win, nfft] windowed DFT matrix zero-padded to
+[3*hop, nfft] (win = 2.5*hop; the padded tail contributes zero). Each
+operand comes from its own aligned VMEM buffer via an overlapping HBM
+DMA, so every slice and matmul is tile-aligned.
 """
 
 from __future__ import annotations
@@ -29,31 +36,44 @@ from jax.experimental.pallas import tpu as pltpu
 from mcncrossmodalemotions_tpu.ops.spectrogram import (
     DEFAULT_SPEC,
     SpecConfig,
-    dft_matrices,
     preemphasis,
 )
 
 T_TILE = 128  # frames per grid step (8-sublane aligned); output trimmed to T
 
 
-def _kernel(x_hbm, cos_ref, sin_ref, out_ref, xs, sem, *, span, rows, hop, win, t_tile):
+ROW_PAD = 256  # hop (160) padded to the 128-lane DMA alignment
+
+
+def _kernel(x0_hbm, x1_hbm, x2_hbm, cos_ref, sin_ref, out_ref,
+            xs0, xs1, xs2, sems, *, t_tile, nfft):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    start = i * (t_tile * hop)
-    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(start, span)], xs, sem)
-    dma.start()
-    dma.wait()
-    a = xs[:].reshape(rows, hop)
-    tail = win - 2 * hop  # 80 samples from the third row
-    frames = jnp.concatenate(
-        [a[0:t_tile], a[1:t_tile + 1], a[2:t_tile + 2, :tail]], axis=1
-    )  # [t_tile, win]
-    re = jnp.dot(frames, cos_ref[:], precision=jax.lax.Precision.HIGHEST,
-                 preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], precision=jax.lax.Precision.HIGHEST,
-                 preferred_element_type=jnp.float32)
-    mag = jnp.sqrt(re * re + im * im)
-    out_ref[:] = mag[None]
+    row0 = i * t_tile  # 8-aligned: every DMA offset is provably tiled
+    copies = []
+    for k, (src, xs) in enumerate(((x0_hbm, xs0), (x1_hbm, xs1),
+                                   (x2_hbm, xs2))):
+        dma = pltpu.make_async_copy(
+            src.at[b, pl.ds(row0, t_tile), :], xs, sems.at[k]
+        )
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+    def dft(mat_ref):
+        acc = jnp.zeros((t_tile, nfft), jnp.float32)
+        for k, xs in enumerate((xs0, xs1, xs2)):
+            acc += jnp.dot(
+                xs[:], mat_ref[k * ROW_PAD:(k + 1) * ROW_PAD, :],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    re = dft(cos_ref)
+    im = dft(sin_ref)
+    out_ref[:] = jnp.sqrt(re * re + im * im)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -79,40 +99,51 @@ def spectrogram_pallas(x: jax.Array, cfg: SpecConfig = DEFAULT_SPEC,
         raise ValueError(f"input too short: {n} samples -> 0 frames")
     n_tiles = -(-t // T_TILE)
     t_pad = n_tiles * T_TILE
-    rows = T_TILE + 2
-    span = rows * hop  # samples DMA'd per tile (with overlap into next tile)
-    needed = (n_tiles - 1) * T_TILE * hop + span
+    total_rows = (n_tiles - 1) * T_TILE + T_TILE + 2
+    needed = total_rows * hop
     x = preemphasis(x, cfg.preemph)
     if n < needed:
         x = jnp.pad(x, ((0, 0), (0, needed - n)))
+    # (rows, hop) layout, lanes zero-padded hop->ROW_PAD so HBM DMA slices
+    # are 128-lane aligned; three row-shifted copies so every DMA's
+    # sublane offset is the 8-aligned i*T_TILE (Mosaic cannot prove
+    # alignment of offsets like i*T_TILE + 1).
+    x_rows = x[:, :needed].reshape(bsz, total_rows, hop)
+    x_rows = jnp.pad(x_rows, ((0, 0), (0, 0), (0, ROW_PAD - hop)))
+    shifted = [x_rows[:, k:k + total_rows - 2] for k in range(3)]
 
-    cos_m, sin_m = _full_dft_matrices(win, nfft)
+    cos_m, sin_m = _padded_dft_matrices(win, nfft, hop)
     grid = (bsz, n_tiles)
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, span=span, rows=rows, hop=hop, win=win, t_tile=T_TILE
-        ),
+        functools.partial(_kernel, t_tile=T_TILE, nfft=nfft),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # waveform stays in HBM
-            pl.BlockSpec((win, nfft), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, nfft), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # row-shifted waveforms, HBM
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3 * ROW_PAD, nfft), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * ROW_PAD, nfft), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T_TILE, nfft), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, T_TILE, nfft), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, nfft), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((span,), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((T_TILE, ROW_PAD), jnp.float32),
+            pltpu.VMEM((T_TILE, ROW_PAD), jnp.float32),
+            pltpu.VMEM((T_TILE, ROW_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(x, cos_m, sin_m)
+    )(shifted[0], shifted[1], shifted[2], cos_m, sin_m)
     return jnp.swapaxes(out[:, :t, :], -1, -2)  # [B, F, T]
 
 
 @functools.lru_cache(maxsize=4)
-def _full_dft_matrices_np(win_length: int, nfft: int):
+def _padded_dft_matrices_np(win_length: int, nfft: int, hop: int):
     import numpy as np
 
     from mcncrossmodalemotions_tpu.ops.spectrogram import hamming
@@ -121,19 +152,28 @@ def _full_dft_matrices_np(win_length: int, nfft: int):
     i = np.arange(win_length)
     angle = -2.0 * np.pi * np.outer(i, k) / nfft
     w = hamming(win_length, np.float64)[:, None]
-    return (
-        (np.cos(angle) * w).astype(np.float32),
-        (np.sin(angle) * w).astype(np.float32),
-    )
+    cos_m = np.zeros((3 * ROW_PAD, nfft), np.float32)
+    sin_m = np.zeros((3 * ROW_PAD, nfft), np.float32)
+    cw = (np.cos(angle) * w).astype(np.float32)
+    sw = (np.sin(angle) * w).astype(np.float32)
+    for k in range(3):
+        n_rows = min(hop, win_length - k * hop)  # 160, 160, 80
+        cos_m[k * ROW_PAD:k * ROW_PAD + n_rows] = cw[k * hop:k * hop + n_rows]
+        sin_m[k * ROW_PAD:k * ROW_PAD + n_rows] = sw[k * hop:k * hop + n_rows]
+    return cos_m, sin_m
 
 
-def _full_dft_matrices(win_length: int, nfft: int):
-    """Windowed DFT matrices over all ``nfft`` bins, [win_length, nfft].
+def _padded_dft_matrices(win_length: int, nfft: int, hop: int):
+    """Windowed full-bin DFT matrices laid out in three ROW_PAD blocks.
 
-    The kernel computes the full (conjugate-symmetric) bin set directly:
-    nfft=512 is MXU-lane aligned, whereas the 257 non-redundant bins would
-    need padding and a mirror step inside the kernel. Only numpy constants
-    are cached (jnp arrays would leak tracers under jit).
+    Block k rows [0:160) hold M[k*hop : k*hop+160) (only 80 real rows in
+    block 2 — win = 2.5*hop); remaining rows are zero so the padded
+    waveform lanes contribute nothing.
+
+    All nfft (conjugate-symmetric) bins are computed directly: nfft=512 is
+    MXU-lane aligned, whereas the 257 non-redundant bins would need
+    padding and a mirror step in-kernel. Only numpy constants are cached
+    (jnp arrays would leak tracers under jit).
     """
-    cos_m, sin_m = _full_dft_matrices_np(win_length, nfft)
+    cos_m, sin_m = _padded_dft_matrices_np(win_length, nfft, hop)
     return jnp.asarray(cos_m), jnp.asarray(sin_m)

@@ -1,0 +1,100 @@
+"""C++ data service vs pure-Python reference implementations."""
+
+import numpy as np
+import pytest
+
+from mcncrossmodalemotions_tpu.data import native
+from mcncrossmodalemotions_tpu.data.audio import read_wav as py_read_wav
+from mcncrossmodalemotions_tpu.data.audio import write_wav
+from mcncrossmodalemotions_tpu.data.images import load_face_frame, save_synthetic_frame
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native library not built (make -C native)"
+)
+
+
+@needs_native
+def test_native_wav_info(tmp_path, rng):
+    path = tmp_path / "a.wav"
+    write_wav(path, rng.randn(12345).astype(np.float32) * 0.3, 16000)
+    n, rate, channels, bits = native.wav_info(str(path))
+    assert (n, rate, channels, bits) == (12345, 16000, 1, 16)
+
+
+@needs_native
+def test_native_read_matches_python(tmp_path, rng):
+    path = tmp_path / "b.wav"
+    write_wav(path, rng.randn(20000).astype(np.float32) * 0.3, 16000)
+    py, _ = py_read_wav(path, 500, 4000)
+    nat, rate = native.read_wav(str(path), 500, 4000)
+    assert rate == 16000
+    np.testing.assert_allclose(nat, py, atol=1e-7)
+
+
+@needs_native
+def test_native_batched_crops_and_padding(tmp_path, rng):
+    paths, starts = [], []
+    for i, n in enumerate([30000, 5000]):  # second file shorter than crop
+        p = tmp_path / f"c{i}.wav"
+        write_wav(p, rng.randn(n).astype(np.float32) * 0.3, 16000)
+        paths.append(str(p))
+        starts.append(100 * i)
+    out = native.read_crops(paths, starts, 8000, num_threads=4)
+    assert out.shape == (2, 8000)
+    ref0, _ = py_read_wav(paths[0], 0, 8000)
+    np.testing.assert_allclose(out[0], ref0, atol=1e-7)
+    # short file: valid prefix then zero padding
+    ref1, _ = py_read_wav(paths[1], 100, 4900)
+    np.testing.assert_allclose(out[1, :4900], ref1, atol=1e-7)
+    assert np.all(out[1, 4900:] == 0)
+
+
+@needs_native
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    path = tmp_path / "face.jpg"
+    save_synthetic_frame(path, pattern_id=2, size=96)
+    ref = load_face_frame(path, out_size=48)
+    got = native.decode_faces([str(path)], out_size=48, num_threads=2)[0]
+    assert got.shape == ref.shape == (48, 48, 1)
+    # Same sampling convention -> agreement to interpolation rounding.
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max abs diff {diff.max()}"
+
+
+@needs_native
+def test_native_missing_file_errors(tmp_path):
+    with pytest.raises(IOError):
+        native.read_crops([str(tmp_path / "nope.wav")], [0], 100)
+    with pytest.raises(IOError):
+        native.decode_faces([str(tmp_path / "nope.jpg")], out_size=32)
+
+
+@needs_native
+def test_batcher_native_path_matches_python(tmp_path):
+    """The C++ fast path and the pure-Python loader must produce identical
+    batches for the same epoch RNG (no augmentation)."""
+    from mcncrossmodalemotions_tpu.data import native as native_mod
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        BatchConfig,
+        EmoVoxBatcher,
+        build_synthetic_imdb,
+    )
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=3)
+    cfg = BatchConfig(batch_size=3)
+    batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=7)
+    native_batches = list(batcher.batches(epoch=2))
+    assert native_mod.available()
+    # force the python path by monkeypatching availability
+    orig = native_mod.available
+    native_mod.available = lambda: False
+    try:
+        py_batches = list(batcher.batches(epoch=2))
+    finally:
+        native_mod.available = orig
+    assert len(native_batches) == len(py_batches)
+    for nb, pb in zip(native_batches, py_batches):
+        np.testing.assert_allclose(nb["data"], pb["data"], atol=1e-7)
+        np.testing.assert_array_equal(nb["max_label"], pb["max_label"])
+        np.testing.assert_allclose(nb["logit_target"], pb["logit_target"])
