@@ -51,6 +51,8 @@ class BatchConfig:
     num_pred_emotions: int = 8
     speed_aug: bool = False
     noise_aug: bool = False
+    frames_per_crop: int = 0   # >0: emit face frames for online distillation
+    frame_size: int = 224
     spec: SpecConfig = DEFAULT_SPEC
 
     @property
@@ -184,7 +186,7 @@ class EmoVoxBatcher:
             if use_native:
                 yield self._native_batch(chunk, rng, wav_root)
                 continue
-            waves, targets = [], []
+            waves, targets, starts_times = [], [], []
             for j in chunk:
                 noise_path = None
                 if rng is not None and cfg.noise_aug:
@@ -198,10 +200,13 @@ class EmoVoxBatcher:
                 window = aggregate_logits(self.imdb.wav_logits[j], t0, t1,
                                           cfg.logit_aggregator)
                 waves.append(samples)
+                starts_times.append(t0)
                 targets.append(make_targets(window, cfg))
             batch = {"data": np.stack(waves)}
             for key in targets[0]:
                 batch[key] = np.stack([t[key] for t in targets])
+            if cfg.frames_per_crop > 0:
+                batch["frames"] = self._crop_frames(chunk, starts_times)
             yield batch
 
     def _native_batch(self, chunk, rng, wav_root: Path) -> Dict[str, np.ndarray]:
@@ -230,14 +235,43 @@ class EmoVoxBatcher:
         batch = {"data": native_ds.read_crops(paths, starts, need)}
         for key in targets[0]:
             batch[key] = np.stack([t[key] for t in targets])
+        if cfg.frames_per_crop > 0:
+            batch["frames"] = self._crop_frames(
+                chunk, [s / fs for s in starts])
         return batch
+
+    def _crop_frames(self, chunk, crop_starts) -> np.ndarray:
+        """[B, K, S, S, 1] face frames sampled from each crop window, for
+        online distillation (teacher forward in-graph). K frames are taken
+        evenly spaced over the crop's logit-frame range; tracks with fewer
+        frames repeat the last one."""
+        from mcncrossmodalemotions_tpu.data.images import load_frame_batch
+
+        cfg = self.cfg
+        assert self.imdb.dense_frames is not None, (
+            "frames_per_crop requires an imdb with dense_frames"
+        )
+        frame_root = Path(self.imdb.frame_dir)
+        all_paths = []
+        for j, t0 in zip(chunk, crop_starts):
+            track_frames = self.imdb.dense_frames[j]
+            f = len(track_frames)
+            i0 = time_to_logit_idx(t0, f)
+            i1 = max(time_to_logit_idx(t0 + cfg.num_seconds, f), i0)
+            picks = np.linspace(i0, i1, cfg.frames_per_crop).round().astype(int)
+            picks = np.clip(picks, 0, f - 1)
+            all_paths.extend(str(frame_root / track_frames[p]) for p in picks)
+        flat = load_frame_batch(all_paths, cfg.frame_size)
+        k = cfg.frames_per_crop
+        return flat.reshape(len(chunk), k, *flat.shape[1:])
 
 
 def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
                          tracks_per_speaker: int = 6, seed: int = 0,
                          num_emotions: int = 8,
                          duration_range=(4.2, 8.0),
-                         sample_rate: int = 16000) -> EmoVoxImdb:
+                         sample_rate: int = 16000,
+                         with_frames: bool = False) -> EmoVoxImdb:
     """Synthetic mini EmoVoxCeleb: wav files + correlated fake teacher logits.
 
     The reference's dev/smoke pattern (opts.dev / opts.limit,
@@ -248,6 +282,7 @@ def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
     root = Path(root)
     rng = np.random.RandomState(seed)
     wav_paths, speakers, sets, all_logits = [], [], [], []
+    dense_frames = [] if with_frames else None
     for s in range(num_speakers):
         for t in range(tracks_per_speaker):
             duration = float(rng.uniform(*duration_range))
@@ -265,6 +300,19 @@ def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
             f = max(int(duration * LOGIT_FPS / LOGIT_STRIDE), 1)
             logits = rng.randn(f, num_emotions).astype(np.float32) * 0.3
             logits[:, emotion] += 4.0
+            if with_frames:
+                from mcncrossmodalemotions_tpu.data.images import (
+                    save_synthetic_frame,
+                )
+
+                track_rel = rel[:-4]  # strip .wav
+                frame_rels = []
+                for k in range(f):
+                    frel = f"{track_rel}/{k:04d}.jpg"
+                    save_synthetic_frame(root.parent / "frames" / frel,
+                                         emotion, seed=seed + k)
+                    frame_rels.append(frel)
+                dense_frames.append(np.asarray(frame_rels, dtype=object))
             wav_paths.append(rel)
             speakers.append(f"spk{s:03d}")
             # speakers 0..n-2: train + heardVal; last speaker: unheardVal
@@ -280,6 +328,8 @@ def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
         speaker=np.asarray(speakers, dtype=object),
         set_id=np.asarray(sets, np.int32),
         wav_logits=all_logits,
+        dense_frames=dense_frames,
         wav_dir=str(root),
+        frame_dir=str(root.parent / "frames") if with_frames else "",
         classes=EMOTIONS[:num_emotions],
     )

@@ -56,6 +56,7 @@ class EmoVoxImdb:
     wav_logits: List[np.ndarray]   # per wav: [F, 8] float32 teacher logits
     dense_frames: Optional[List[np.ndarray]] = None  # per wav: frame relpaths
     wav_dir: str = ""
+    frame_dir: str = ""
     classes: Sequence[str] = ()
 
     def __post_init__(self):
@@ -76,6 +77,7 @@ class EmoVoxImdb:
                 [self.dense_frames[i] for i in idx] if self.dense_frames else None
             ),
             wav_dir=self.wav_dir,
+            frame_dir=self.frame_dir,
             classes=self.classes,
         )
 
@@ -89,6 +91,7 @@ class EmoVoxImdb:
         if self.dense_frames is not None:
             arrays["dense_frames"] = np.asarray(self.dense_frames, dtype=object)
         _save_npz(path, arrays, {"wav_dir": self.wav_dir,
+                                 "frame_dir": self.frame_dir,
                                  "classes": list(self.classes)})
 
     @classmethod
@@ -103,6 +106,7 @@ class EmoVoxImdb:
                 list(data["dense_frames"]) if "dense_frames" in data else None
             ),
             wav_dir=meta["wav_dir"],
+            frame_dir=meta.get("frame_dir", ""),
             classes=tuple(meta["classes"]),
         )
 

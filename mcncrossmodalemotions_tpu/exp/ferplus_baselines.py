@@ -51,6 +51,7 @@ class FerPlusConfig:
     lr_epochs: tuple = (60, 60, 60)
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    finetune_lr: float = 0.1  # backbone LR multiplier (ferplus_baselines.m:74)
     augment: bool = True
     input_size: int = 224
     seed: int = 0
@@ -64,7 +65,7 @@ class FerPlusConfig:
         # (ferplus_baselines.m:297-309).
         identity = (self.model, self.loss_type, self.num_classes,
                     self.dropout, self.augment, self.input_size,
-                    self.seed, self.tiny_model, self.dev)
+                    self.seed, self.tiny_model, self.dev, self.finetune_lr)
         return f"ferplus-{self.model}-{self.loss_type}-{config_hash(identity)}"
 
 
@@ -111,8 +112,12 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
         rngs.append("augment")
     if cfg.dropout > 0:
         rngs.append("dropout")
+    from mcncrossmodalemotions_tpu.train.state import finetune_lr_scale_fn
+
+    lr_scale = (finetune_lr_scale_fn(backbone_scale=cfg.finetune_lr)
+                if cfg.finetune_lr != 1.0 else None)
     trainer = Trainer(model, loss_fn, tcfg, class_names=EMOTIONS,
-                      mesh=mesh, rng_names=rngs)
+                      mesh=mesh, rng_names=rngs, lr_scale_fn=lr_scale)
 
     example = next(ferplus_batches(imdb, 1, min(cfg.batch_size, 2)))
 

@@ -94,6 +94,7 @@ def build_imdb(root: str | Path, teacher_model, teacher_variables,
         wav_logits=wav_logits,
         dense_frames=frames,
         wav_dir=str(wav_root),
+        frame_dir=str(frame_root),
         classes=EMOTIONS,
     )
 

@@ -59,6 +59,13 @@ class DistillationConfig:
     out_root: str = "exps"
     tiny_model: bool = False     # dev pattern
     use_pallas_frontend: bool = False
+    # Online (fused) mode: teacher forward runs inside the student train
+    # step on the crop's face frames instead of consuming cached
+    # wav_logits (train/distill.py; SURVEY.md "teacher/student
+    # co-scheduling"). Requires an imdb with dense_frames + a teacher.
+    online_teacher: bool = False
+    frames_per_crop: int = 4
+    frame_size: int = 224
 
     def exp_name(self) -> str:
         """Experiment identity encoding (run_distillation.m:95-105) + hash.
@@ -97,8 +104,14 @@ def split_imdb(imdb: EmoVoxImdb, mini_val: float, seed: int = 0):
 
 
 def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
-                     mesh=None, resume: bool = True):
-    """Returns (final_state, history, exp_dir)."""
+                     mesh=None, resume: bool = True,
+                     teacher_model=None, teacher_variables=None):
+    """Returns (final_state, history, exp_dir).
+
+    ``teacher_model``/``teacher_variables`` are required when
+    ``cfg.online_teacher`` is set (the fused mode); the offline mode uses
+    the imdb's cached wav_logits.
+    """
     if imdb is None:
         imdb_path = Path(cfg.data_root) / "emovoxceleb-imdb.npz"
         if not imdb_path.exists():
@@ -115,6 +128,8 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         loss_type=cfg.loss_type,
         logit_aggregator=cfg.logit_aggregator,
         num_pred_emotions=cfg.num_pred_emotions,
+        frames_per_crop=cfg.frames_per_crop if cfg.online_teacher else 0,
+        frame_size=cfg.frame_size,
     )
     train_batcher = EmoVoxBatcher(train_imdb, bcfg, train=True, seed=cfg.seed)
     val_batcher = EmoVoxBatcher(val_imdb, bcfg, train=False, seed=cfg.seed)
@@ -142,10 +157,29 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
     )
     loss_fn = student_loss_fn(cfg.loss_type, temperature=cfg.temperature,
                               num_classes=cfg.num_pred_emotions)
+    step_override = None
+    if cfg.online_teacher:
+        if teacher_model is None or teacher_variables is None:
+            raise ValueError("online_teacher=True requires teacher_model + "
+                             "teacher_variables")
+        from mcncrossmodalemotions_tpu.train.distill import (
+            make_online_distill_step,
+        )
+        from mcncrossmodalemotions_tpu.train.state import SGDConfig
+
+        step_override = make_online_distill_step(
+            model.apply, teacher_model.apply, teacher_variables,
+            loss_type=cfg.loss_type, temperature=cfg.temperature,
+            aggregator=cfg.logit_aggregator,
+            num_classes=cfg.num_pred_emotions,
+            sgd=SGDConfig(weight_decay=0.0),
+            rng_names=("dropout",) if cfg.dropout > 0 else (),
+        )
     trainer = Trainer(model, loss_fn, tcfg,
                       class_names=EMOTIONS[: cfg.num_pred_emotions],
                       mesh=mesh,
-                      rng_names=("dropout",) if cfg.dropout > 0 else ())
+                      rng_names=("dropout",) if cfg.dropout > 0 else (),
+                      train_step_override=step_override)
 
     # Run-metadata dump (storeMetaInfo, run_distillation.m:227-240)
     exp_dir.mkdir(parents=True, exist_ok=True)

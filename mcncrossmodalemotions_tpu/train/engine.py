@@ -114,16 +114,23 @@ class Trainer:
     def __init__(self, model, loss_fn: LossFn, cfg: TrainConfig,
                  class_names: Sequence[str] = (),
                  mesh=None, rng_names: Sequence[str] = (),
-                 eval_loss_fn: Optional[LossFn] = None):
+                 eval_loss_fn: Optional[LossFn] = None,
+                 lr_scale_fn=None,
+                 train_step_override=None):
         self.model = model
         self.cfg = cfg
         self.class_names = class_names
         self.mesh = mesh
         sgd = SGDConfig(momentum=cfg.momentum, weight_decay=cfg.weight_decay)
         has_bs = True
-        self._train_step = make_train_step(model.apply, loss_fn, sgd,
-                                           has_batch_stats=has_bs,
-                                           rng_names=tuple(rng_names))
+        if train_step_override is not None:
+            # e.g. the fused online-distillation step (train/distill.py)
+            self._train_step = train_step_override
+        else:
+            self._train_step = make_train_step(model.apply, loss_fn, sgd,
+                                               has_batch_stats=has_bs,
+                                               rng_names=tuple(rng_names),
+                                               lr_scale_fn=lr_scale_fn)
         self._eval_step = make_eval_step(model.apply, eval_loss_fn or loss_fn)
         if mesh is not None:
             from mcncrossmodalemotions_tpu.parallel.mesh import (

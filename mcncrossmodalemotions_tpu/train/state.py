@@ -63,10 +63,28 @@ class TrainState:
 LossFn = Callable[[Any, Dict[str, jax.Array]], Tuple[jax.Array, Dict[str, jax.Array]]]
 
 
+def finetune_lr_scale_fn(head_names: Tuple[str, ...] = ("prediction",),
+                         backbone_scale: float = 0.1) -> Callable:
+    """Per-parameter LR multiplier function for fine-tuning.
+
+    The reference trains all non-classifier params at a reduced rate
+    (``finetuneLR``, ferPlusZoo.m:236-237; default 0.1,
+    ferplus_baselines.m:74): head params get 1.0, everything else
+    ``backbone_scale``. The returned function maps a parameter path
+    (tuple of str) to its multiplier.
+    """
+
+    def scale(path: Tuple[str, ...]) -> float:
+        return 1.0 if any(h in path for h in head_names) else backbone_scale
+
+    return scale
+
+
 def make_train_step(apply_fn: Callable, loss_fn: LossFn,
                     sgd: SGDConfig = SGDConfig(),
                     has_batch_stats: bool = True,
-                    rng_names: Tuple[str, ...] = ()):
+                    rng_names: Tuple[str, ...] = (),
+                    lr_scale_fn: Optional[Callable] = None):
     """Build the jitted SGD+momentum train step.
 
     ``apply_fn(variables, data, train=..., mutable=..., rngs=...)`` is a
@@ -105,12 +123,16 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
             compute, has_aux=True
         )(state.params)
 
-        def update(v, g, p):
+        def update(path, v, g, p):
             g = g.astype(jnp.float32)
-            new_v = sgd.momentum * v - lr * (g + sgd.weight_decay * p)
-            return new_v
+            scale = 1.0
+            if lr_scale_fn is not None:
+                names = tuple(str(getattr(k, "key", k)) for k in path)
+                scale = float(lr_scale_fn(names))
+            return sgd.momentum * v - (lr * scale) * (g + sgd.weight_decay * p)
 
-        velocity = jax.tree.map(update, state.velocity, grads, state.params)
+        velocity = jax.tree_util.tree_map_with_path(
+            update, state.velocity, grads, state.params)
         params = jax.tree.map(lambda p, v: p + v, state.params, velocity)
         metrics = dict(metrics, loss=loss)
         new_state = state.replace(

@@ -1,0 +1,138 @@
+"""Config system (vl_argparse equivalent), splits generator, CLI plumbing."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mcncrossmodalemotions_tpu.utils.config import (
+    config_hash,
+    override,
+    parse_overrides,
+    struct2str,
+    to_dict,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Inner:
+    batch_size: int = 64
+    lr: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class Outer:
+    name: str = "exp"
+    enabled: bool = False
+    train: Inner = Inner()
+
+
+def test_override_dotted_path():
+    cfg = override(Outer(), "train.batch_size", 32)
+    assert cfg.train.batch_size == 32
+    assert cfg.train.lr == 0.1  # untouched
+
+
+def test_parse_overrides_cli_strings():
+    cfg = parse_overrides(Outer(), "train.lr=0.01", "enabled=true",
+                          "name=hello")
+    assert cfg.train.lr == 0.01
+    assert cfg.enabled is True
+    assert cfg.name == "hello"
+
+
+def test_parse_overrides_kwargs():
+    cfg = parse_overrides(Outer(), train__batch_size=128)
+    assert cfg.train.batch_size == 128
+
+
+def test_override_unknown_key_raises():
+    with pytest.raises(AttributeError):
+        override(Outer(), "nope", 1)
+    with pytest.raises(AttributeError):
+        override(Outer(), "name.deeper", 1)
+
+
+def test_config_hash_stability():
+    assert config_hash(Outer()) == config_hash(Outer())
+    assert config_hash(Outer()) != config_hash(
+        parse_overrides(Outer(), "train.lr=0.5"))
+
+
+def test_struct2str_renders_nested():
+    text = struct2str(Outer())
+    assert "batch_size: 64" in text
+    assert "train:" in text
+
+
+def test_to_dict_roundtrip():
+    d = to_dict(parse_overrides(Outer(), "train.lr=0.3"))
+    assert d["train"]["lr"] == 0.3
+
+
+# --- splits ---------------------------------------------------------------
+
+def test_identity_splits_no_leakage():
+    from mcncrossmodalemotions_tpu.data.splits import generate_identity_splits
+
+    speakers = [f"spk{i % 10}" for i in range(200)]
+    sets = generate_identity_splits(speakers, unheard_fraction=0.3,
+                                    heard_val_fraction=0.1, seed=0)
+    speakers = np.asarray(speakers)
+    unheard_spk = set(speakers[sets == 2])
+    train_spk = set(speakers[sets == 1])
+    heard_spk = set(speakers[sets == 3])
+    assert not (unheard_spk & train_spk)
+    assert not (unheard_spk & heard_spk)
+    assert heard_spk <= train_spk
+    assert {1, 2, 3} == set(np.unique(sets))
+
+
+def test_identity_splits_deterministic():
+    from mcncrossmodalemotions_tpu.data.splits import generate_identity_splits
+
+    speakers = [f"s{i % 40}" for i in range(400)]
+    a = generate_identity_splits(speakers, seed=3)
+    b = generate_identity_splits(speakers, seed=3)
+    np.testing.assert_array_equal(a, b)
+    c = generate_identity_splits(speakers, seed=4)
+    assert not np.array_equal(a, c)  # 40 speakers: collision ~impossible
+
+
+def test_split_manifest_roundtrip(tmp_path):
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+    from mcncrossmodalemotions_tpu.data.splits import (
+        apply_splits,
+        export_split_manifest,
+        load_split_manifest,
+    )
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=5,
+                                tracks_per_speaker=4)
+    imdb = apply_splits(imdb, unheard_fraction=0.4, heard_val_fraction=0.25,
+                        seed=1)
+    original = imdb.set_id.copy()
+    export_split_manifest(imdb, tmp_path / "split.json")
+    imdb.set_id = np.zeros_like(imdb.set_id)
+    load_split_manifest(imdb, tmp_path / "split.json")
+    np.testing.assert_array_equal(imdb.set_id, original)
+
+
+def test_split_validation_catches_leakage(tmp_path):
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+    from mcncrossmodalemotions_tpu.data.splits import validate_splits
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=2)
+    imdb.set_id = np.asarray([1, 2, 2, 1], np.int32)  # spk leaks into both
+    with pytest.raises(AssertionError):
+        validate_splits(imdb)
+
+
+# --- CLI ------------------------------------------------------------------
+
+def test_cli_help_and_unknown():
+    from mcncrossmodalemotions_tpu.cli import main
+
+    assert main(["--help"]) == 0
+    assert main(["nonsense"]) == 1

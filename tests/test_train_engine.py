@@ -133,3 +133,49 @@ def test_summarize_class_stats():
     assert stats["neg"] == 0.5 and stats["pos"] == 1.0
     assert stats["meanAcc"] == pytest.approx(0.75)
     assert stats["negPop"] == pytest.approx(2 / 6)
+
+
+def test_finetune_lr_scaling():
+    """Backbone params move 10x slower than head params under the
+    finetuneLR recipe (ferPlusZoo.m:236-237)."""
+    import flax.linen as nn
+
+    from mcncrossmodalemotions_tpu.train.state import (
+        SGDConfig,
+        TrainState,
+        finetune_lr_scale_fn,
+        make_train_step,
+    )
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Dense(4, name="backbone")(x)
+            return nn.Dense(2, name="prediction")(h)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+    batch = {"data": x, "label": jnp.asarray(rng.randint(0, 2, 8))}
+
+    def loss_fn(logits, b):
+        return softmax_ce(logits, b["label"]), {}
+
+    model = Net()
+    variables = model.init(jax.random.PRNGKey(0), x)
+    results = {}
+    for name, scale_fn in (("uniform", None),
+                           ("finetune", finetune_lr_scale_fn())):
+        step = make_train_step(model.apply, loss_fn,
+                               SGDConfig(momentum=0.0, weight_decay=0.0),
+                               has_batch_stats=False, lr_scale_fn=scale_fn)
+        state = TrainState.create(variables, jax.random.PRNGKey(1))
+        new_state, _ = step(state, batch, 0.1)
+        delta = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                             new_state.params, state.params)
+        results[name] = delta
+    uni, ft = results["uniform"], results["finetune"]
+    # head moves identically; backbone moves 10x less
+    assert ft["prediction"]["kernel"] == pytest.approx(
+        uni["prediction"]["kernel"], rel=1e-5)
+    assert ft["backbone"]["kernel"] == pytest.approx(
+        uni["backbone"]["kernel"] * 0.1, rel=1e-4)
