@@ -51,6 +51,11 @@ class TrainConfig:
     resume: bool = True  # the reference's 'continue' option
     checkpoint_every: int = 1
     log_every: int = 20
+    # Observability (SURVEY.md section 5.1/5.2): optional jax.profiler
+    # trace of the first train epoch, and a NaN tripwire replacing the
+    # reference's `keyboard` debugger drop (getBatchEmoVoxCeleb.m:189-192).
+    profile_dir: Optional[str] = None
+    nan_check: bool = True
 
 
 def lr_for_epoch(cfg: TrainConfig, epoch: int) -> float:
@@ -67,24 +72,33 @@ def logspace_lr(start_exp: float, stop_exp: float, num: int) -> tuple:
 
 
 class MetricAverager:
-    """Running batch-weighted averages + summed per-class stat vectors."""
+    """Running batch-weighted averages + summed per-class stat vectors.
+
+    Accumulation happens ON DEVICE (lazy jnp adds): a per-batch
+    ``device_get`` would force a host sync every step, which under the
+    tunnelled TPU runtime costs a full round trip (~25 ms). The single
+    transfer happens in ``result()`` at epoch end.
+    """
 
     def __init__(self):
-        self.sums: Dict[str, np.ndarray] = {}
+        self.sums: Dict[str, Any] = {}
         self.count = 0
 
     def update(self, metrics: Dict[str, Any], batch_size: int) -> None:
         self.count += batch_size
         for key, value in metrics.items():
-            value = np.asarray(jax.device_get(value), np.float64)
+            value = jnp.asarray(value)
             if value.ndim == 0:
                 value = value * batch_size  # mean metric -> weighted sum
-            self.sums[key] = self.sums.get(key, 0.0) + value
+            prev = self.sums.get(key)
+            self.sums[key] = value if prev is None else prev + value
 
     def result(self) -> Dict[str, Any]:
+        host = jax.device_get(self.sums)  # one sync for the whole epoch
         out = {}
-        for key, value in self.sums.items():
-            if np.ndim(value) == 0:
+        for key, value in host.items():
+            value = np.asarray(value, np.float64)
+            if value.ndim == 0:
                 out[key] = float(value / max(self.count, 1))
             else:
                 out[key] = value  # summed vectors (e.g. per-class counts)
@@ -171,6 +185,9 @@ class Trainer:
         lr = lr_for_epoch(self.cfg, epoch)
         t0 = time.monotonic()
         n_batches = 0
+        profiling = (train and epoch == 1 and self.cfg.profile_dir)
+        if profiling:
+            jax.profiler.start_trace(self.cfg.profile_dir)
         for batch in batches:
             bsz = int(np.shape(batch["data"])[0])
             device_batch = self._shard_batch(
@@ -183,18 +200,36 @@ class Trainer:
             avg.update(metrics, bsz)
             n_batches += 1
             if n_batches % self.cfg.log_every == 0:
+                # This print syncs (device_get) — log_every trades
+                # observability against the tunnel round-trip cost.
+                loss_val = float(np.asarray(jax.device_get(metrics["loss"])))
                 elapsed = time.monotonic() - t0
                 hz = avg.count / max(elapsed, 1e-9)
                 mode = "train" if train else "val"
                 print(
                     f"epoch {epoch} [{mode}] batch {n_batches}: "
-                    f"loss={float(np.asarray(jax.device_get(metrics['loss']))):.4f} "
-                    f"({hz:.1f} samples/s)",
+                    f"loss={loss_val:.4f} ({hz:.1f} samples/s)",
                     flush=True,
                 )
+                if self.cfg.nan_check and not np.isfinite(loss_val):
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} batch {n_batches} "
+                        f"(train={train}, lr={lr}) — the reference's NaN "
+                        "tripwire (getBatchEmoVoxCeleb.m:189-192), upgraded "
+                        "from a debugger drop to a hard error"
+                    )
+        if profiling:
+            jax.profiler.stop_trace()
         stats = summarize_class_stats(avg.result(), self.class_names)
         stats["samples_per_sec"] = avg.count / max(time.monotonic() - t0, 1e-9)
         stats["num_samples"] = avg.count
+        if self.cfg.nan_check and not np.isfinite(stats.get("loss", 0.0)):
+            raise FloatingPointError(
+                f"non-finite epoch-{epoch} loss {stats['loss']} "
+                f"(train={train}, lr={lr})"
+            )
         return state, stats
 
     def fit(self, train_batches_fn: Callable[[int], Iterable],

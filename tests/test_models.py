@@ -109,3 +109,43 @@ def test_embedding_output(student):
     )
     assert logits.shape == (2, 8)
     assert emb.shape == (2, 32)
+
+
+def test_surgery_reinit_head(student):
+    from mcncrossmodalemotions_tpu.models import surgery
+
+    model, variables = student
+    new_vars = surgery.reinit_head(variables, num_outputs=5,
+                                   rng=jax.random.PRNGKey(0), scale=1e-4)
+    assert new_vars["params"]["prediction"]["kernel"].shape[-1] == 5
+    assert float(jnp.abs(new_vars["params"]["prediction"]["kernel"]).max()) < 1e-2
+    # backbone untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["conv1"]["kernel"]))
+
+
+def test_surgery_transplant_backbone(student):
+    from mcncrossmodalemotions_tpu.models import surgery
+
+    model, variables = student
+    zeros = jax.tree.map(jnp.zeros_like, variables)
+    merged = surgery.transplant_backbone(zeros, variables)
+    # backbone copied from source...
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["conv1"]["kernel"]))
+    # ...head kept from target (zeros)
+    assert float(jnp.abs(merged["params"]["prediction"]["kernel"]).max()) == 0
+
+
+def test_surgery_shape_mismatch_raises(student):
+    from mcncrossmodalemotions_tpu.models import surgery
+
+    model, variables = student
+    bad = jax.tree.map(jnp.zeros_like, variables)
+    bad["params"]["conv1"]["kernel"] = jnp.zeros((1, 1, 1, 1))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        surgery.transplant_backbone(bad, variables)
