@@ -37,7 +37,7 @@ def main():
     )
     from mcncrossmodalemotions_tpu.zoo import build_student, student_loss_fn
 
-    batch_size = 64
+    batch_size = 128  # throughput saturates at bs>=128 on one v5e chip
     crop = DEFAULT_SPEC.crop_samples(400)  # 4 s = 64,384 samples
     rng = np.random.RandomState(0)
     batch = {

@@ -69,10 +69,15 @@ def parse_ferplus_csvs(fer_csv: str | Path, ferplus_csv: str | Path,
                        set_id=sets, classes=EMOTIONS)
 
 
-def vote_distributions(votes: np.ndarray) -> np.ndarray:
-    """Normalise 10-col votes to 8-class distributions (NF/unknown dropped,
-    ferplus_baselines.m:167-172)."""
-    emo = votes[:, :8].astype(np.float32)
+def vote_distributions(votes: np.ndarray, data_type: str = "CNTK") -> np.ndarray:
+    """Normalise rater votes to class distributions.
+
+    ``data_type='CNTK'`` keeps the 8 emotion columns (NF/unknown dropped
+    — ferplus_baselines.m:167-172); ``'full'`` keeps all 10 columns
+    (the reference's 10-class dataType, ferplus_baselines.m:87-92).
+    """
+    cols = 8 if data_type == "CNTK" else 10
+    emo = votes[:, :cols].astype(np.float32)
     total = emo.sum(axis=1, keepdims=True)
     return emo / np.maximum(total, 1e-8)
 
@@ -110,7 +115,8 @@ def build_synthetic_ferplus(num_images: int = 120, seed: int = 0,
 
 def ferplus_batches(imdb: FerPlusImdb, subset: int, batch_size: int,
                     shuffle: bool = False, seed: int = 0,
-                    drop_remainder: bool = False):
+                    drop_remainder: bool = False,
+                    data_type: str = "CNTK"):
     """Yield host batches: uint8 images + hard labels + vote distributions.
 
     On-device preprocessing (grayscale->RGB, mean subtract, augmentation
@@ -127,5 +133,5 @@ def ferplus_batches(imdb: FerPlusImdb, subset: int, batch_size: int,
         yield {
             "data": imdb.data[chunk],
             "hard_label": imdb.hard_labels[chunk],
-            "label_dist": vote_distributions(imdb.votes[chunk]),
+            "label_dist": vote_distributions(imdb.votes[chunk], data_type),
         }

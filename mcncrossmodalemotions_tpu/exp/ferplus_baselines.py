@@ -44,7 +44,8 @@ class FerPlusConfig:
 
     model: str = "senet50-ferplus"
     loss_type: str = "distributions"
-    num_classes: int = 8          # 'CNTK' dataType
+    num_classes: int = 8          # 8 = 'CNTK' dataType, 10 = 'full'
+                                  # (ferplus_baselines.m:87-92)
     batch_size: int = 128
     dropout: float = 0.5
     lr_values: tuple = (0.01, 0.001, 0.0001)
@@ -119,7 +120,9 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     trainer = Trainer(model, loss_fn, tcfg, class_names=EMOTIONS,
                       mesh=mesh, rng_names=rngs, lr_scale_fn=lr_scale)
 
-    example = next(ferplus_batches(imdb, 1, min(cfg.batch_size, 2)))
+    data_type = "CNTK" if cfg.num_classes == 8 else "full"
+    example = next(ferplus_batches(imdb, 1, min(cfg.batch_size, 2),
+                                   data_type=data_type))
 
     if evaluate_only is not None:
         subset = _SUBSET_IDS[evaluate_only]
@@ -134,7 +137,8 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
             _, state = ckpt_lib.load_latest(exp_dir, state)
         _, stats = trainer.run_epoch(
             state,
-            ferplus_batches(imdb, subset, cfg.batch_size),
+            ferplus_batches(imdb, subset, cfg.batch_size,
+                            data_type=data_type),
             epoch=1, train=False,
         )
         stats["accuracy"] = 1.0 - stats["classerror"]  # benchmark_ferplus_models.m:51-56
@@ -143,8 +147,10 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     state, history = trainer.fit(
         lambda epoch: ferplus_batches(imdb, 1, cfg.batch_size, shuffle=True,
                                       seed=cfg.seed + epoch,
-                                      drop_remainder=True),
-        val_batches_fn=lambda epoch: ferplus_batches(imdb, 2, cfg.batch_size),
+                                      drop_remainder=True,
+                                      data_type=data_type),
+        val_batches_fn=lambda epoch: ferplus_batches(
+            imdb, 2, cfg.batch_size, data_type=data_type),
         example_batch=example,
     )
     return state, history

@@ -63,6 +63,15 @@ def sample_audio(imdb: EmoVoxImdb, out_dir: str | Path,
                     shutil.copy(src, emo_dir / stem)
             logits = imdb.wav_logits[idx]
             peak_frame = int(np.unravel_index(logits.argmax(), logits.shape)[0])
+            # copy the peak face frame when dense frames are registered
+            # (sample_audio.m copies wav + peak frame, :102-198)
+            if imdb.dense_frames is not None and imdb.frame_dir:
+                track_frames = imdb.dense_frames[idx]
+                if len(track_frames):
+                    fsrc = Path(imdb.frame_dir) / track_frames[
+                        min(peak_frame, len(track_frames) - 1)]
+                    if fsrc.exists():
+                        shutil.copy(fsrc, emo_dir / (stem + "-peak.jpg"))
             meta_lines.append(
                 f"{rank}\t{rel}\tspeaker={imdb.speaker[idx]}\t"
                 f"peak_frame={peak_frame}\tmax_logit={logits.max():.3f}"

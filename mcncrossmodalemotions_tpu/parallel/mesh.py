@@ -21,6 +21,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) initialisation wrapper.
+
+    Scale-out beyond one host keeps the exact same mesh/sharding code:
+    call this once per process before ``make_mesh()`` and the mesh spans
+    every chip in the job, with XLA routing the gradient psum over ICI
+    within a slice and DCN across slices (SURVEY.md section 5.8). On a
+    single host this is a no-op. Args mirror
+    ``jax.distributed.initialize`` (auto-detected on Cloud TPU).
+    """
+    import jax
+
+    if num_processes is not None and num_processes <= 1:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(num_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over ICI.
