@@ -37,11 +37,18 @@ class AudioStudentPipeline(nn.Module):
     num_outputs: int = 8
     dropout_rate: float = 0.0
     use_pallas_frontend: bool = False
-    student: Optional[VGGMStudent] = None
+    fc6_features: int = 4096
+    fc7_features: int = 1024
 
     def setup(self):
-        self.net = self.student or VGGMStudent(
-            num_outputs=self.num_outputs, dropout_rate=self.dropout_rate
+        # Constructed here (never passed in) so the submodule is always
+        # named 'net' — a passed bound module would be named after the
+        # dataclass field instead, breaking checkpoint compatibility.
+        self.net = VGGMStudent(
+            num_outputs=self.num_outputs,
+            dropout_rate=self.dropout_rate,
+            fc6_features=self.fc6_features,
+            fc7_features=self.fc7_features,
         )
 
     def frontend(self, x: jax.Array, valid_frames=None) -> jax.Array:

@@ -41,16 +41,15 @@ def build_student(name: str = "emovoxceleb-student", *,
     """
     if name not in STUDENT_MODELS:
         raise KeyError(f"unknown student {name!r}; known: {STUDENT_MODELS}")
-    kw = dict(num_outputs=num_outputs, dropout_rate=dropout)
+    kw = dict(num_outputs=num_outputs)
     if tiny:
         kw.update(fc6_features=64, fc7_features=32)
-    student = VGGMStudent(**kw)
     if with_frontend:
         return AudioStudentPipeline(
-            spec=spec, num_outputs=num_outputs, dropout_rate=dropout,
-            use_pallas_frontend=use_pallas_frontend, student=student,
+            spec=spec, dropout_rate=dropout,
+            use_pallas_frontend=use_pallas_frontend, **kw,
         )
-    return student
+    return VGGMStudent(dropout_rate=dropout, **kw)
 
 
 def build_teacher(name: str = "senet50-ferplus", *,
