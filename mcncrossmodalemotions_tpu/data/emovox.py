@@ -95,23 +95,30 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
     """
     info = wav_info(wav_path)
     fs = cfg.spec.sample_rate
-    total = min(info.num_samples, int(MAX_CLIP_SECONDS * info.sample_rate))
+    native_fs = info.sample_rate
+    total = min(info.num_samples, int(MAX_CLIP_SECONDS * native_fs))
     need = cfg.crop_samples
 
     factor = 1.0
     if rng is not None and cfg.speed_aug:
         factor = float(rng.uniform(0.95, 1.05))
-    # samples to read so that after resample we have >= `need`
-    need_raw = int(np.ceil(need * factor)) + 4 if factor != 1.0 else need
+    # All crop arithmetic in NATIVE-rate samples: `need` target-rate
+    # samples correspond to need * native/target native samples (plus
+    # speed-perturb headroom), and t0 must use the native rate — mixing
+    # rates silently desynchronised the teacher-logit window.
+    rate_ratio = native_fs / fs
+    need_native = int(np.ceil(need * rate_ratio * factor)) + (
+        4 if factor != 1.0 else 0
+    )
 
-    max_start = max(total - need_raw, 0)
+    max_start = max(total - need_native, 0)
     start = int(rng.randint(0, max_start + 1)) if (rng is not None and max_start > 0) else 0
-    samples, got_fs = read_wav(wav_path, start, min(need_raw, total - start))
+    samples, got_fs = read_wav(wav_path, start, min(need_native, total - start))
     if got_fs != fs:
         from mcncrossmodalemotions_tpu.data.audio import resample_poly
         from fractions import Fraction
 
-        frac = Fraction(fs, got_fs)
+        frac = Fraction(fs, got_fs).limit_denominator(1000)
         samples = resample_poly(samples, frac.numerator, frac.denominator)
     if factor != 1.0:
         samples = speed_perturb(samples, factor)
@@ -124,7 +131,7 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
             noise = np.pad(noise, (0, need - len(noise)))
         snr_scale = float(rng.uniform(0.0, 0.3))
         samples = samples + snr_scale * noise
-    t0 = start / fs
+    t0 = start / native_fs
     return samples.astype(np.float32), t0, info.duration
 
 
@@ -185,29 +192,33 @@ class EmoVoxBatcher:
                 break
             if use_native:
                 yield self._native_batch(chunk, rng, wav_root)
-                continue
-            waves, targets, starts_times = [], [], []
-            for j in chunk:
-                noise_path = None
-                if rng is not None and cfg.noise_aug:
-                    k = int(rng.randint(0, self.imdb.num_tracks))
-                    noise_path = str(wav_root / self.imdb.wav_paths[k])
-                samples, t0, _ = load_crop(
-                    str(wav_root / self.imdb.wav_paths[j]), cfg,
-                    rng=rng, noise_path=noise_path,
-                )
-                t1 = t0 + cfg.num_seconds
-                window = aggregate_logits(self.imdb.wav_logits[j], t0, t1,
-                                          cfg.logit_aggregator)
-                waves.append(samples)
-                starts_times.append(t0)
-                targets.append(make_targets(window, cfg))
-            batch = {"data": np.stack(waves)}
-            for key in targets[0]:
-                batch[key] = np.stack([t[key] for t in targets])
-            if cfg.frames_per_crop > 0:
-                batch["frames"] = self._crop_frames(chunk, starts_times)
-            yield batch
+            else:
+                yield self._python_batch(chunk, rng, wav_root)
+
+    def _python_batch(self, chunk, rng, wav_root: Path) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        waves, targets, starts_times = [], [], []
+        for j in chunk:
+            noise_path = None
+            if rng is not None and cfg.noise_aug:
+                k = int(rng.randint(0, self.imdb.num_tracks))
+                noise_path = str(wav_root / self.imdb.wav_paths[k])
+            samples, t0, _ = load_crop(
+                str(wav_root / self.imdb.wav_paths[j]), cfg,
+                rng=rng, noise_path=noise_path,
+            )
+            t1 = t0 + cfg.num_seconds
+            window = aggregate_logits(self.imdb.wav_logits[j], t0, t1,
+                                      cfg.logit_aggregator)
+            waves.append(samples)
+            starts_times.append(t0)
+            targets.append(make_targets(window, cfg))
+        batch = {"data": np.stack(waves)}
+        for key in targets[0]:
+            batch[key] = np.stack([t[key] for t in targets])
+        if cfg.frames_per_crop > 0:
+            batch["frames"] = self._crop_frames(chunk, starts_times)
+        return batch
 
     def _native_batch(self, chunk, rng, wav_root: Path) -> Dict[str, np.ndarray]:
         """Threaded C++ fast path: batched segment reads (no host resample
@@ -220,7 +231,10 @@ class EmoVoxBatcher:
         paths, starts, targets = [], [], []
         for j in chunk:
             path = str(wav_root / self.imdb.wav_paths[j])
-            num_samples = native_ds.wav_info(path)[0]
+            num_samples, native_fs, _, _ = native_ds.wav_info(path)
+            if native_fs != fs:
+                # fast path is 1:1 sample reads; fall back for this batch
+                return self._python_batch(chunk, rng, wav_root)
             total = min(num_samples, int(MAX_CLIP_SECONDS * fs))
             max_start = max(total - need, 0)
             start = int(rng.randint(0, max_start + 1)) if (

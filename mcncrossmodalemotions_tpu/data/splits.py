@@ -63,17 +63,30 @@ def generate_identity_splits(speakers: Sequence[str],
 
 
 def apply_splits(imdb: EmoVoxImdb, speaker_to_set: Optional[Dict[str, int]] = None,
+                 heard_val_fraction: float = 0.03, seed: int = 0,
                  **generate_kwargs) -> EmoVoxImdb:
     """Return the imdb with set ids from an explicit mapping or generated.
 
-    An explicit ``speaker_to_set`` reproduces a published split; only
-    track-level heard-val assignment is generated when the mapping sends
-    a speaker to set 1.
+    An explicit ``speaker_to_set`` reproduces a published speaker-level
+    split; the track-level seen-heard assignment (set 3: held-out tracks
+    of train speakers, generateBaseImdb.m:47-64) is then drawn per train
+    speaker at ``heard_val_fraction`` with the pinned ``seed``.
     """
     if speaker_to_set is not None:
         sets = np.asarray([speaker_to_set[s] for s in imdb.speaker], np.int32)
+        rng = np.random.RandomState(seed)
+        speakers = np.asarray(imdb.speaker)
+        for spk in np.unique(speakers):
+            if speaker_to_set.get(spk) != SET_TRAIN:
+                continue
+            idx = np.where(speakers == spk)[0]
+            n_heard = int(round(len(idx) * heard_val_fraction))
+            if n_heard > 0:
+                sets[rng.permutation(idx)[:n_heard]] = SET_HEARD_VAL
     else:
-        sets = generate_identity_splits(list(imdb.speaker), **generate_kwargs)
+        sets = generate_identity_splits(
+            list(imdb.speaker), heard_val_fraction=heard_val_fraction,
+            seed=seed, **generate_kwargs)
     imdb.set_id = sets
     validate_splits(imdb)
     return imdb

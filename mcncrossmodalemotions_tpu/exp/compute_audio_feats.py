@@ -95,6 +95,17 @@ class AudioFeatureExtractor:
         eta = Eta(len(wav_paths), "audio-feats", log_every=200) if verbose else None
         for i, path in enumerate(wav_paths):
             samples, fs = read_wav(path)
+            if fs != cfg.sample_rate:
+                # external datasets are often 44.1/48 kHz; the reference
+                # resamples to 16 kHz (compute_audio_feats.m:173)
+                from fractions import Fraction
+
+                from mcncrossmodalemotions_tpu.data.audio import resample_poly
+
+                frac = Fraction(cfg.sample_rate, fs).limit_denominator(1000)
+                samples = resample_poly(samples, frac.numerator,
+                                        frac.denominator)
+                fs = cfg.sample_rate
             cap = int(MAX_CLIP_SECONDS * fs)
             samples = samples[:cap]
             t = cfg.num_frames(len(samples))

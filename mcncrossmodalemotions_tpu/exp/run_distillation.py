@@ -83,8 +83,11 @@ class DistillationConfig:
         identity = (self.teacher, self.student, self.loss_type,
                     self.temperature, self.num_seconds,
                     self.num_pred_emotions, self.logit_aggregator,
-                    self.dropout, self.seed, self.tiny_model)
-        return f"{base}-{config_hash(identity)}"
+                    self.dropout, self.seed, self.tiny_model,
+                    self.online_teacher, self.lr_start_exp,
+                    self.lr_stop_exp)
+        suffix = "-online" if self.online_teacher else ""
+        return f"{base}{suffix}-{config_hash(identity)}"
 
 
 def split_imdb(imdb: EmoVoxImdb, mini_val: float, seed: int = 0):

@@ -114,11 +114,3 @@ def per_class_stats(logits: jax.Array, labels: jax.Array, num_classes: int):
     correct = one_hot * (pred == labels)[:, None].astype(jnp.float32)
     return jnp.sum(correct, axis=0), jnp.sum(one_hot, axis=0)
 
-
-LOSS_REGISTRY = {
-    "hot-cross-ent": distillation_ce,
-    "distributions": distribution_ce,
-    "softmaxlog": softmax_ce,
-    "euclidean": euclidean_loss,
-    "huber": huber_loss,
-}

@@ -19,10 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def head_params(variables: Dict[str, Any], head_name: str = "prediction"):
-    return variables["params"][head_name]
-
-
 def reinit_head(variables: Dict[str, Any], num_outputs: int,
                 rng: jax.Array, scale: float = 1e-4,
                 head_name: str = "prediction") -> Dict[str, Any]:

@@ -27,16 +27,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# (kernel_h, kernel_w, stride_h, stride_w) per conv; pools interleaved below.
-_CONV_DEFS = (
-    dict(features=96, kernel=(7, 7), stride=(2, 2)),
-    dict(features=256, kernel=(5, 5), stride=(2, 2)),
-    dict(features=384, kernel=(3, 3), stride=(1, 1), pad="SAME"),
-    dict(features=256, kernel=(3, 3), stride=(1, 1), pad="SAME"),
-    dict(features=256, kernel=(3, 3), stride=(1, 1), pad="SAME"),
-)
-
-
 def _floor_out(size, kernel, stride):
     """VALID conv/pool output size; works on ints and traced arrays."""
     return (size - kernel) // stride + 1

@@ -163,11 +163,15 @@ class Trainer:
             self._eval_step = jax.jit(
                 self._eval_step, in_shardings=(rep, data), out_shardings=rep
             )
-            self._shard_batch = lambda b: jax.device_put(b, data)
+            from mcncrossmodalemotions_tpu.parallel.mesh import shard_batch
+
+            self._shard_batch = lambda b: shard_batch(b, mesh)
+            self._num_devices = int(np.prod(mesh.devices.shape))
         else:
             self._train_step = jax.jit(self._train_step, donate_argnums=(0,))
             self._eval_step = jax.jit(self._eval_step)
             self._shard_batch = lambda b: b
+            self._num_devices = 1
 
     # -- state ------------------------------------------------------------
     def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:
@@ -190,6 +194,17 @@ class Trainer:
             jax.profiler.start_trace(self.cfg.profile_dir)
         for batch in batches:
             bsz = int(np.shape(batch["data"])[0])
+            if self._num_devices > 1 and bsz % self._num_devices != 0:
+                # Ragged final batch under a mesh: pad by repeating the
+                # last row so the batch dim shards evenly. The <=N-1
+                # duplicated samples are counted in the epoch metrics
+                # (bias bounded by num_devices-1 samples per epoch).
+                from mcncrossmodalemotions_tpu.parallel.mesh import (
+                    pad_to_multiple,
+                )
+
+                batch, _ = pad_to_multiple(batch, self._num_devices)
+                bsz = int(np.shape(batch["data"])[0])
             device_batch = self._shard_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()}
             )

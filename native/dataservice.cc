@@ -17,6 +17,8 @@
 #include <cstddef>
 #include <cstdio>
 
+#include <csetjmp>
+
 #include <jpeglib.h>
 
 #include <algorithm>
@@ -130,6 +132,7 @@ bool ParseWavHeader(FILE* f, WavHeader* h) {
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
+      if (size < 16) return false;  // PCM fmt chunk is >= 16 bytes
       std::vector<unsigned char> fmt(size + (size % 2));
       if (fread(fmt.data(), 1, fmt.size(), f) != fmt.size()) return false;
       memcpy(&h->format, fmt.data(), 2);
@@ -203,13 +206,32 @@ int64_t ReadWavSegment(const char* path, int64_t start, int64_t n,
 // ---------------------------------------------------------------------------
 // JPEG decode + center-crop + bilinear resize + grayscale
 // ---------------------------------------------------------------------------
+// libjpeg's default error handler calls exit(); a corrupt frame must
+// fail the single decode, not the training process. setjmp/longjmp per
+// the libjpeg manual.
+struct JpegErrorGuard {
+  jpeg_error_mgr mgr;
+  jmp_buf env;
+};
+
+void JpegErrorExit(j_common_ptr cinfo) {
+  JpegErrorGuard* guard = reinterpret_cast<JpegErrorGuard*>(cinfo->err);
+  longjmp(guard->env, 1);
+}
+
 bool DecodeJpegFace(const char* path, int out_size, double crop_ratio,
                     unsigned char* out /* [out_size * out_size] */) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorGuard guard;
+  cinfo.err = jpeg_std_error(&guard.mgr);
+  guard.mgr.error_exit = JpegErrorExit;
+  if (setjmp(guard.env)) {  // any libjpeg error lands here
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {

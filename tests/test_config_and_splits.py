@@ -136,3 +136,22 @@ def test_cli_help_and_unknown():
 
     assert main(["--help"]) == 0
     assert main(["nonsense"]) == 1
+
+
+def test_apply_splits_explicit_mapping_generates_heard_val(tmp_path):
+    """With a published speaker->set mapping, the track-level seen-heard
+    (set 3) assignment must still be generated for train speakers."""
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+    from mcncrossmodalemotions_tpu.data.splits import apply_splits
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=4,
+                                tracks_per_speaker=10)
+    mapping = {"spk000": 1, "spk001": 1, "spk002": 1, "spk003": 2}
+    imdb = apply_splits(imdb, speaker_to_set=mapping,
+                        heard_val_fraction=0.2, seed=0)
+    assert (imdb.set_id == 3).sum() > 0, "seen-heard partition must exist"
+    assert (imdb.set_id == 2).sum() == 10
+    # determinism
+    imdb2 = apply_splits(imdb, speaker_to_set=mapping,
+                         heard_val_fraction=0.2, seed=0)
+    np.testing.assert_array_equal(imdb.set_id, imdb2.set_id)

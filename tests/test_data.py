@@ -178,3 +178,56 @@ def test_track_imdb_roundtrip(tmp_path):
     back = TrackImdb.load(tmp_path / "t.npz")
     assert back.num_tracks == imdb.num_tracks
     assert back.logits[0].shape == (2, 8)
+
+
+def test_load_crop_non_16k_wav(tmp_path, rng):
+    """A 32 kHz wav: the crop must cover the correct 4 s of audio (resampled),
+    and t0 must be in true seconds — mixed-rate arithmetic silently
+    desynchronised the teacher-logit window before."""
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+
+    native_fs = 32000
+    seconds = 6.0
+    # tone burst in the second half so content location is checkable
+    n = int(native_fs * seconds)
+    wave = np.zeros(n, np.float32)
+    wave[n // 2:] = 0.5 * np.sin(
+        2 * np.pi * 440 * np.arange(n - n // 2) / native_fs)
+    path = tmp_path / "hi.wav"
+    write_wav(path, wave, native_fs)
+    cfg = BatchConfig(batch_size=1)
+    samples, t0, duration = load_crop(path, cfg, rng=None)
+    assert len(samples) == cfg.crop_samples
+    assert duration == pytest.approx(seconds, abs=0.01)
+    # deterministic crop starts at t0=0; first 3 s are silent, energy after
+    energy_first = float(np.square(samples[:16000 * 2]).mean())
+    energy_last = float(np.square(samples[16000 * 3 + 1600:]).mean())
+    assert energy_last > 100 * max(energy_first, 1e-12)
+
+
+def test_audio_feats_resamples(tmp_path, rng):
+    """compute_audio_feats on 44.1 kHz wavs must produce sane 16 kHz-geometry
+    logits (frames arithmetic previously ran at the native rate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+        AudioFeatureExtractor,
+    )
+    from mcncrossmodalemotions_tpu.zoo import build_student
+
+    model = build_student(tiny=True, with_frontend=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 100, 1)))
+    p16 = tmp_path / "a16.wav"
+    p44 = tmp_path / "a44.wav"
+    tt16 = np.arange(16000 * 3) / 16000
+    write_wav(p16, (0.4 * np.sin(2 * np.pi * 440 * tt16)).astype(np.float32),
+              16000)
+    tt44 = np.arange(44100 * 3) / 44100
+    write_wav(p44, (0.4 * np.sin(2 * np.pi * 440 * tt44)).astype(np.float32),
+              44100)
+    ex = AudioFeatureExtractor(model, variables, batch_size=1)
+    l16, l44 = ex.track_logits([str(p16), str(p44)], verbose=False)
+    # same audio content at different rates -> near-identical logits
+    np.testing.assert_allclose(l44, l16, atol=0.15)

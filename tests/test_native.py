@@ -98,3 +98,18 @@ def test_batcher_native_path_matches_python(tmp_path):
         np.testing.assert_allclose(nb["data"], pb["data"], atol=1e-7)
         np.testing.assert_array_equal(nb["max_label"], pb["max_label"])
         np.testing.assert_allclose(nb["logit_target"], pb["logit_target"])
+
+
+@needs_native
+def test_native_corrupt_jpeg_fails_cleanly(tmp_path):
+    """A corrupt JPEG must fail the decode, not kill the process
+    (libjpeg's default error handler calls exit())."""
+    good = tmp_path / "good.jpg"
+    save_synthetic_frame(good, 1, size=32)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(good.read_bytes()[:40])  # truncated header
+    with pytest.raises(IOError):
+        native.decode_faces([str(bad)], out_size=32)
+    # and the process is still healthy: good file decodes afterwards
+    out = native.decode_faces([str(good)], out_size=32)
+    assert out.shape == (1, 32, 32, 1)

@@ -112,3 +112,42 @@ def test_trainer_with_mesh_matches_no_mesh():
     flat1 = jax.tree.leaves(results[1])
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainer_mesh_handles_ragged_batch():
+    """A final batch not divisible by the device count must not crash
+    (padded by repeating the last row)."""
+    import flax.linen as nn
+
+    from mcncrossmodalemotions_tpu.losses import softmax_ce
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Dense(8)(x)
+            h = nn.BatchNorm(use_running_average=not train)(h)
+            return nn.Dense(3)(nn.relu(h))
+
+    def loss_fn(logits, batch):
+        return softmax_ce(logits, batch["label"]), {}
+
+    rng = np.random.RandomState(0)
+
+    def batches(epoch):
+        yield {"data": rng.randn(16, 4).astype(np.float32),
+               "label": rng.randint(0, 3, 16)}
+        yield {"data": rng.randn(5, 4).astype(np.float32),  # 5 % 8 != 0
+               "label": rng.randint(0, 3, 5)}
+
+    trainer = Trainer(
+        Net(), loss_fn,
+        TrainConfig(num_epochs=1, learning_rate=0.1, weight_decay=0.0,
+                    log_every=1000, resume=False, exp_dir="/tmp/ragged_test"),
+        mesh=make_mesh())
+    state = trainer.init_state({"data": np.zeros((2, 4), np.float32)})
+    state, stats = trainer.run_epoch(state, batches(1), epoch=1, train=True)
+    assert np.isfinite(stats["loss"])
+    # eval path too
+    state, stats = trainer.run_epoch(state, batches(1), epoch=1, train=False)
+    assert np.isfinite(stats["loss"])
