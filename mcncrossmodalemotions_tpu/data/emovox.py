@@ -53,6 +53,9 @@ class BatchConfig:
     noise_aug: bool = False
     frames_per_crop: int = 0   # >0: emit face frames for online distillation
     frame_size: int = 224
+    emit_int16: bool = True    # ship PCM16 crops (half the feed bytes;
+                               # lossless for 16-bit sources, requantised
+                               # only after speed/noise augmentation)
     spec: SpecConfig = DEFAULT_SPEC
 
     @property
@@ -213,12 +216,17 @@ class EmoVoxBatcher:
             waves.append(samples)
             starts_times.append(t0)
             targets.append(make_targets(window, cfg))
-        batch = {"data": np.stack(waves)}
+        batch = {"data": self._pack_waves(np.stack(waves))}
         for key in targets[0]:
             batch[key] = np.stack([t[key] for t in targets])
         if cfg.frames_per_crop > 0:
             batch["frames"] = self._crop_frames(chunk, starts_times)
         return batch
+
+    def _pack_waves(self, waves: np.ndarray) -> np.ndarray:
+        if not self.cfg.emit_int16:
+            return waves
+        return np.clip(np.round(waves * 32768.0), -32768, 32767).astype(np.int16)
 
     def _native_batch(self, chunk, rng, wav_root: Path) -> Dict[str, np.ndarray]:
         """Threaded C++ fast path: batched segment reads (no host resample
@@ -246,7 +254,7 @@ class EmoVoxBatcher:
                 self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
                 cfg.logit_aggregator)
             targets.append(make_targets(window, cfg))
-        batch = {"data": native_ds.read_crops(paths, starts, need)}
+        batch = {"data": self._pack_waves(native_ds.read_crops(paths, starts, need))}
         for key in targets[0]:
             batch[key] = np.stack([t[key] for t in targets])
         if cfg.frames_per_crop > 0:

@@ -173,6 +173,39 @@ class Trainer:
             self._shard_batch = lambda b: b
             self._num_devices = 1
 
+    # -- device feed -------------------------------------------------------
+    def _to_device(self, batch):
+        """Pad (ragged mesh batches) + start the async host->device copy."""
+        bsz = int(np.shape(batch["data"])[0])
+        if self._num_devices > 1 and bsz % self._num_devices != 0:
+            # Ragged final batch under a mesh: pad by repeating the last
+            # row so the batch dim shards evenly. The <=N-1 duplicated
+            # samples are counted in the epoch metrics (bias bounded by
+            # num_devices-1 samples per epoch).
+            from mcncrossmodalemotions_tpu.parallel.mesh import pad_to_multiple
+
+            batch, _ = pad_to_multiple(batch, self._num_devices)
+            bsz = int(np.shape(batch["data"])[0])
+        return bsz, self._shard_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+
+    def _prefetched(self, batches):
+        """One-batch device prefetch: batch k+1's (async) host->device
+        transfer is started before step k runs, overlapping the feed with
+        compute — essential when the host link is slow (SKILL.md tunnel:
+        ~33 MB/s) and still free on PCIe hosts."""
+        it = iter(batches)
+        try:
+            pending = self._to_device(next(it))
+        except StopIteration:
+            return
+        for nxt in it:
+            current = pending
+            pending = self._to_device(nxt)  # async copy starts now
+            yield current
+        yield pending
+
     # -- state ------------------------------------------------------------
     def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
@@ -192,22 +225,7 @@ class Trainer:
         profiling = (train and epoch == 1 and self.cfg.profile_dir)
         if profiling:
             jax.profiler.start_trace(self.cfg.profile_dir)
-        for batch in batches:
-            bsz = int(np.shape(batch["data"])[0])
-            if self._num_devices > 1 and bsz % self._num_devices != 0:
-                # Ragged final batch under a mesh: pad by repeating the
-                # last row so the batch dim shards evenly. The <=N-1
-                # duplicated samples are counted in the epoch metrics
-                # (bias bounded by num_devices-1 samples per epoch).
-                from mcncrossmodalemotions_tpu.parallel.mesh import (
-                    pad_to_multiple,
-                )
-
-                batch, _ = pad_to_multiple(batch, self._num_devices)
-                bsz = int(np.shape(batch["data"])[0])
-            device_batch = self._shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}
-            )
+        for bsz, device_batch in self._prefetched(batches):
             if train:
                 state, metrics = self._train_step(state, device_batch, lr)
             else:
