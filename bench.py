@@ -34,6 +34,15 @@ MATCONVNET_BASELINE_UTTS_PER_SEC = 60.0
 
 def main():
     import jax
+
+    try:
+        # Persistent compilation cache: the full train step takes ~3 min to
+        # compile on this runtime; repeated bench runs skip it entirely.
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/mcncrossmodal_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass  # older jax without these options
     import jax.numpy as jnp
 
     from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC

@@ -116,22 +116,33 @@ def build_synthetic_ferplus(num_images: int = 120, seed: int = 0,
 def ferplus_batches(imdb: FerPlusImdb, subset: int, batch_size: int,
                     shuffle: bool = False, seed: int = 0,
                     drop_remainder: bool = False,
-                    data_type: str = "CNTK"):
+                    data_type: str = "CNTK",
+                    augment: bool = False):
     """Yield host batches: uint8 images + hard labels + vote distributions.
 
-    On-device preprocessing (grayscale->RGB, mean subtract, augmentation
-    warp) happens inside the teacher pipeline (models/teacher_pipeline.py),
-    so the host ships 48x48 uint8 — 2.3 kB/image.
+    The host ships native-resolution (48x48) uint8 — 2.3 kB/image. With
+    ``augment=True`` (train) the zoom/rotate/skew affine warp runs HERE at
+    48x48 (computeAugs parameters, applied to a random half of each
+    batch, ferplus_baselines.m:194-199,232-268); fliplr, the resize to
+    network resolution and normalisation run on device inside the teacher
+    pipeline. See models/teacher_pipeline.py for why the affine part is
+    host-side.
     """
     idx = np.where(imdb.set_id == subset)[0]
+    rng = np.random.RandomState(seed)
     if shuffle:
-        idx = np.random.RandomState(seed).permutation(idx)
+        idx = rng.permutation(idx)
     for i in range(0, len(idx), batch_size):
         chunk = idx[i:i + batch_size]
         if drop_remainder and len(chunk) < batch_size:
             break
+        data = imdb.data[chunk]
+        if augment:
+            from mcncrossmodalemotions_tpu.ops.warp import augment_batch_np
+
+            data = augment_batch_np(data, rng)
         yield {
-            "data": imdb.data[chunk],
+            "data": data,
             "hard_label": imdb.hard_labels[chunk],
             "label_dist": vote_distributions(imdb.votes[chunk], data_type),
         }

@@ -148,7 +148,8 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
         lambda epoch: ferplus_batches(imdb, 1, cfg.batch_size, shuffle=True,
                                       seed=cfg.seed + epoch,
                                       drop_remainder=True,
-                                      data_type=data_type),
+                                      data_type=data_type,
+                                      augment=cfg.augment),
         val_batches_fn=lambda epoch: ferplus_batches(
             imdb, 2, cfg.batch_size, data_type=data_type),
         example_batch=example,

@@ -1,40 +1,42 @@
 """On-device face-image pipeline: uint8 grayscale -> teacher logits.
 
-Replicates the reference's preprocessing chain inside the jitted step
+Replicates the reference's preprocessing chain
 (getBatchFerPlus, ferplus_baselines.m:181-213; getImageBatch,
 fetch_emovoxceleb_imdb.m:152-193):
 
-    uint8 grayscale -> float -> [augmentation affine warp | identity]
-    -> bilinear resize to the network input size -> replicate to 3
-    channels -> subtract the training-mean image.
+    uint8 grayscale [-> host affine augmentation, train only]
+    -> random fliplr (device, train only)
+    -> bilinear resize to the network input size (device)
+    -> replicate to 3 channels -> subtract the training-mean image.
 
-The reference ran the warp+resize on GPU via vl_nnaffinegrid +
-vl_nnbilinearsampler and did random fliplr on the host (:188); here
-flip + warp + resize + normalisation all execute on device, so the host
-ships 48x48 uint8 (2.3 kB/image) and XLA fuses the whole chain into the
+Split of responsibilities (changed from the reference's all-GPU path for
+TPU reasons): the zoom/rotate/skew affine warp runs on the HOST at the
+native 48x48 resolution inside the batch loader
+(data/ferplus.ferplus_batches augment=True, ops/warp.warp_images_np) —
+an arbitrary-affine bilinear sample is a scattered gather, which the TPU
+runtime compiles/executes pathologically; at 48x48 on CPU it is
+microseconds per image. The device keeps the regular work: fliplr is a
+lane reversal, the 48->224 resize is ``jax.image.resize`` (lowers to two
+separable matmuls on the MXU), and replicate+mean-subtract fuse into the
 teacher's first conv.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from mcncrossmodalemotions_tpu.models.resnet import ResNet
-from mcncrossmodalemotions_tpu.ops.warp import (
-    identity_theta,
-    random_augmentation_thetas,
-    warp_images,
-)
 
 
 class FaceTeacherPipeline(nn.Module):
-    """Preprocessing + ResNet/SENet teacher as one module.
+    """Device preprocessing + ResNet/SENet teacher as one module.
 
-    Input ``x``: [B, H, W, 1] uint8 (or float) grayscale faces.
+    Input ``x``: [B, H, W, 1] uint8 (or float) grayscale faces,
+    already host-augmented in train mode.
     ``mean_rgb``: the dataset mean subtracted after channel replication
     (the released models' ``normalization.averageImage``).
     """
@@ -42,7 +44,7 @@ class FaceTeacherPipeline(nn.Module):
     teacher: ResNet
     input_size: int = 224
     mean_rgb: Any = (131.0912, 103.8827, 91.4953)  # VGGFace2 convention
-    augment: bool = True
+    augment: bool = True  # device part of augmentation: random fliplr
     flip_prob: float = 0.5
 
     @nn.compact
@@ -52,13 +54,13 @@ class FaceTeacherPipeline(nn.Module):
         x = x.astype(jnp.float32)
         if train and self.augment:
             rng = self.make_rng("augment")
-            k_flip, k_warp = jax.random.split(rng)
-            flip = jax.random.bernoulli(k_flip, self.flip_prob, (b,))
+            flip = jax.random.bernoulli(rng, self.flip_prob, (b,))
             x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-            theta = random_augmentation_thetas(k_warp, b)
-        else:
-            theta = identity_theta(b)
-        x = warp_images(x, theta, self.input_size, self.input_size)
+        if x.shape[1] != self.input_size or x.shape[2] != self.input_size:
+            x = jax.image.resize(
+                x, (b, self.input_size, self.input_size, x.shape[3]),
+                method="bilinear",
+            )
         x = jnp.repeat(x, 3, axis=-1)  # grayscale -> 3 channels
         x = x - jnp.asarray(self.mean_rgb, jnp.float32)[None, None, None, :]
         return self.teacher(x, train=train, return_embedding=return_embedding)

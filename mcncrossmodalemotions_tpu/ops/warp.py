@@ -1,11 +1,16 @@
-"""Batched affine grid + bilinear sampling (on-device augmentation engine).
+"""Batched affine grid + bilinear sampling (the augmentation engine).
 
-Rebuilds the reference's GPU augmentation path — ``vl_nnaffinegrid`` +
-``vl_nnbilinearsampler`` (ferplus_baselines.m:194-213), which it also
-uses as a fast resize when augmentation is disabled (:200-206) — as pure
-jnp. The gather-based sampler lowers to XLA gathers that fuse with the
-surrounding program; the warp happens inside the jitted train step, so
-augmented images never round-trip through HBM separately.
+Rebuilds the reference's ``vl_nnaffinegrid`` + ``vl_nnbilinearsampler``
+(ferplus_baselines.m:194-213) with the same semantics in two forms:
+
+- jnp versions (this module's default) for API parity and small inputs.
+  CAUTION: the gather-based sampler is pathologically slow to compile/run
+  for large batches on the tunnelled TPU runtime — the hot paths below
+  deliberately avoid it.
+- ``warp_images_np`` — the numpy host version used by the FER+ batch
+  loader: augmentation runs on 48x48 uint8 images on the host (trivial
+  CPU cost), and the device does only the matmul-lowered
+  ``jax.image.resize`` + elementwise preprocessing.
 
 Augmentation parameters mirror computeAugs (ferplus_baselines.m:232-268):
 zoom 1 +/- 1/25, rotation +/- pi/18, skew +/- 0.1, composed, applied to a
@@ -132,3 +137,73 @@ def resize_bilinear(images: jax.Array, out_height: int, out_width: int) -> jax.A
     """Plain bilinear resize via the identity warp."""
     return warp_images(images, identity_theta(images.shape[0]),
                        out_height, out_width)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) implementations — used by the batch loaders
+# ---------------------------------------------------------------------------
+
+def random_augmentation_thetas_np(rng, batch: int,
+                                  zoom_delta: float = 1.0 / 25.0,
+                                  max_rotate: float = float(jnp.pi) / 18.0,
+                                  max_skew: float = 0.1,
+                                  apply_prob: float = 0.5):
+    """numpy twin of ``random_augmentation_thetas`` for host-side aug."""
+    import numpy as np
+
+    zoom = 1.0 + rng.uniform(-zoom_delta, zoom_delta, batch)
+    angle = rng.uniform(-max_rotate, max_rotate, batch)
+    skew = rng.uniform(-max_skew, max_skew, (batch, 2))
+    thetas = np.zeros((batch, 2, 3))
+    for i in range(batch):
+        z = np.array([[zoom[i], 0, 0], [0, zoom[i], 0], [0, 0, 1]])
+        c, s = np.cos(angle[i]), np.sin(angle[i])
+        r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        k = np.array([[1, skew[i, 0], 0], [skew[i, 1], 1, 0], [0, 0, 1]])
+        thetas[i] = (z @ r @ k)[:2]
+    apply = rng.rand(batch) < apply_prob
+    eye = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+    thetas[~apply] = eye
+    return thetas.astype(np.float32)
+
+
+def warp_images_np(images, theta, out_height: int, out_width: int):
+    """Host affine warp, numerically matching the jnp sampler.
+
+    ``images``: [B, H, W, C] (any numeric dtype); returns float32.
+    """
+    import numpy as np
+
+    images = np.asarray(images, np.float32)
+    b, h, w, c = images.shape
+    ys = np.linspace(-1.0, 1.0, out_height)
+    xs = np.linspace(-1.0, 1.0, out_width)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    base = np.stack([gx, gy, np.ones_like(gx)], axis=-1)  # [H', W', 3]
+    grid = np.einsum("bij,hwj->bhwi", np.asarray(theta, np.float32), base)
+    x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0 = np.clip(np.floor(x), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(y), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = np.clip(x - x0, 0.0, 1.0)[..., None]
+    wy = np.clip(y - y0, 0.0, 1.0)[..., None]
+    bidx = np.arange(b)[:, None, None]
+    v00 = images[bidx, y0, x0]
+    v01 = images[bidx, y0, x1]
+    v10 = images[bidx, y1, x0]
+    v11 = images[bidx, y1, x1]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def augment_batch_np(images, rng, **theta_kwargs):
+    """Host-side augmentation for a uint8 image batch (same size in/out)."""
+    import numpy as np
+
+    b, h, w, _ = images.shape
+    theta = random_augmentation_thetas_np(rng, b, **theta_kwargs)
+    warped = warp_images_np(images, theta, h, w)
+    return np.clip(np.round(warped), 0, 255).astype(np.uint8)
