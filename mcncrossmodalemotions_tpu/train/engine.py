@@ -191,11 +191,45 @@ class Trainer:
         )
 
     def _prefetched(self, batches):
-        """One-batch device prefetch: batch k+1's (async) host->device
-        transfer is started before step k runs, overlapping the feed with
-        compute — essential when the host link is slow (SKILL.md tunnel:
-        ~33 MB/s) and still free on PCIe hosts."""
-        it = iter(batches)
+        """Two-stage pipeline over the host iterator.
+
+        Stage 1: a background thread runs the (host-side) batch iterator —
+        wav segment reads, JPEG decodes, augmentation — into a small
+        queue, overlapping host data work with device compute.
+        Stage 2: batch k+1's (async) host->device transfer starts before
+        step k runs, overlapping the feed with compute — essential when
+        the host link is slow (SKILL.md tunnel: ~33 MB/s) and still free
+        on PCIe hosts.
+        """
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        SENTINEL = object()
+        error: list = []
+
+        def produce():
+            try:
+                for item in batches:
+                    q.put(item)
+            except BaseException as exc:  # surfaced on the consumer side
+                error.append(exc)
+            finally:
+                q.put(SENTINEL)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+
+        def host_batches():
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+
+        it = host_batches()
         try:
             pending = self._to_device(next(it))
         except StopIteration:

@@ -149,3 +149,30 @@ def test_surgery_shape_mismatch_raises(student):
 
     with _pytest.raises(ValueError):
         surgery.transplant_backbone(bad, variables)
+
+
+def test_host_warp_matches_device_warp(rng):
+    """The numpy host sampler and the jnp device sampler must agree —
+    both implement the vl_nnbilinearsampler convention."""
+    from mcncrossmodalemotions_tpu.ops.warp import (
+        random_augmentation_thetas_np,
+        warp_images,
+        warp_images_np,
+    )
+
+    images = rng.randint(0, 255, (3, 24, 24, 1)).astype(np.float32)
+    theta = random_augmentation_thetas_np(rng, 3, apply_prob=1.0)
+    host = warp_images_np(images, theta, 24, 24)
+    device = np.asarray(warp_images(jnp.asarray(images), jnp.asarray(theta),
+                                    24, 24))
+    np.testing.assert_allclose(host, device, atol=1e-3)
+
+
+def test_augment_batch_np_half_identity(rng):
+    """augment_batch_np leaves ~half the batch untouched (apply_prob=0.5)."""
+    from mcncrossmodalemotions_tpu.ops.warp import augment_batch_np
+
+    images = rng.randint(0, 255, (64, 16, 16, 1)).astype(np.uint8)
+    out = augment_batch_np(images, np.random.RandomState(0))
+    unchanged = sum(np.array_equal(out[i], images[i]) for i in range(64))
+    assert 16 <= unchanged <= 48
