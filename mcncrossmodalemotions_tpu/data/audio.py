@@ -127,6 +127,16 @@ def resample_poly(x: np.ndarray, up: int, down: int) -> np.ndarray:
     return _rp(x, up, down).astype(np.float32)
 
 
+def resample_to(x: np.ndarray, from_fs: int, to_fs: int) -> np.ndarray:
+    """Resample between sample rates (no-op when equal)."""
+    if from_fs == to_fs:
+        return x
+    from fractions import Fraction
+
+    frac = Fraction(to_fs, from_fs).limit_denominator(1000)
+    return resample_poly(x, frac.numerator, frac.denominator)
+
+
 def speed_perturb(x: np.ndarray, factor: float, max_denominator: int = 100) -> np.ndarray:
     """Speed perturbation by rational resampling, factor in [0.95, 1.05].
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -118,11 +118,9 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
     start = int(rng.randint(0, max_start + 1)) if (rng is not None and max_start > 0) else 0
     samples, got_fs = read_wav(wav_path, start, min(need_native, total - start))
     if got_fs != fs:
-        from mcncrossmodalemotions_tpu.data.audio import resample_poly
-        from fractions import Fraction
+        from mcncrossmodalemotions_tpu.data.audio import resample_to
 
-        frac = Fraction(fs, got_fs).limit_denominator(1000)
-        samples = resample_poly(samples, frac.numerator, frac.denominator)
+        samples = resample_to(samples, got_fs, fs)
     if factor != 1.0:
         samples = speed_perturb(samples, factor)
     if len(samples) < need:  # zero-pad short clips (:115-119)

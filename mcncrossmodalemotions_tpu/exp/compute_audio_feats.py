@@ -98,13 +98,9 @@ class AudioFeatureExtractor:
             if fs != cfg.sample_rate:
                 # external datasets are often 44.1/48 kHz; the reference
                 # resamples to 16 kHz (compute_audio_feats.m:173)
-                from fractions import Fraction
+                from mcncrossmodalemotions_tpu.data.audio import resample_to
 
-                from mcncrossmodalemotions_tpu.data.audio import resample_poly
-
-                frac = Fraction(cfg.sample_rate, fs).limit_denominator(1000)
-                samples = resample_poly(samples, frac.numerator,
-                                        frac.denominator)
+                samples = resample_to(samples, fs, cfg.sample_rate)
                 fs = cfg.sample_rate
             cap = int(MAX_CLIP_SECONDS * fs)
             samples = samples[:cap]

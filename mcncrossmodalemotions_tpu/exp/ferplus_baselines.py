@@ -24,7 +24,7 @@ from mcncrossmodalemotions_tpu.data.ferplus import FerPlusImdb, ferplus_batches
 from mcncrossmodalemotions_tpu.models.teacher_pipeline import FaceTeacherPipeline
 from mcncrossmodalemotions_tpu.train import checkpoints as ckpt_lib
 from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
-from mcncrossmodalemotions_tpu.utils.config import config_hash, to_dict
+from mcncrossmodalemotions_tpu.utils.config import config_hash
 from mcncrossmodalemotions_tpu.zoo import build_teacher, teacher_loss_fn
 
 _SUBSET_IDS = {"train": 1, "val": 2, "test": 3}

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from mcncrossmodalemotions_tpu.data.imdb import EmoVoxImdb
-from mcncrossmodalemotions_tpu.utils.logging import Eta
 
 _MEMORY_CACHE: Dict[str, EmoVoxImdb] = {}  # dev_cache equivalent (misc/dev_cache.m)
 

@@ -8,7 +8,7 @@ the log-scale grouped bar figure (teacher_stats.m:47-84).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -10,8 +10,6 @@ the same program as the conv stack and backward pass.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

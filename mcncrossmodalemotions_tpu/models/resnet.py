@@ -16,7 +16,7 @@ head follows the reference's fine-tune recipe: fresh init at scale 1/100
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ TPU-native redesign decisions:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,11 @@ from typing import Any, Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from mcncrossmodalemotions_tpu.train.state import SGDConfig, TrainState
+from mcncrossmodalemotions_tpu.train.state import (
+    SGDConfig,
+    TrainState,
+    apply_sgd_update,
+)
 from mcncrossmodalemotions_tpu.zoo.registry import student_loss_fn
 
 
@@ -88,12 +92,7 @@ def make_online_distill_step(student_apply: Callable,
             compute, has_aux=True
         )(state.params)
 
-        def update(v, g, p):
-            g = g.astype(jnp.float32)
-            return sgd.momentum * v - lr * (g + sgd.weight_decay * p)
-
-        velocity = jax.tree.map(update, state.velocity, grads, state.params)
-        params = jax.tree.map(lambda p, v: p + v, state.params, velocity)
+        params, velocity = apply_sgd_update(state, grads, lr, sgd)
         metrics = dict(metrics, loss=loss)
         return state.replace(
             params=params, model_state=new_model_state, velocity=velocity,

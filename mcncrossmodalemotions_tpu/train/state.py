@@ -80,6 +80,29 @@ def finetune_lr_scale_fn(head_names: Tuple[str, ...] = ("prediction",),
     return scale
 
 
+def apply_sgd_update(state: TrainState, grads: Any, lr,
+                     sgd: SGDConfig = SGDConfig(),
+                     lr_scale_fn: Optional[Callable] = None):
+    """MatConvNet SGD+momentum update on a TrainState's params/velocity.
+
+    Shared by the standard train step and the fused online-distillation
+    step (train/distill.py); returns (params, velocity).
+    """
+
+    def update(path, v, g, p):
+        g = g.astype(jnp.float32)
+        scale = 1.0
+        if lr_scale_fn is not None:
+            names = tuple(str(getattr(k, "key", k)) for k in path)
+            scale = float(lr_scale_fn(names))
+        return sgd.momentum * v - (lr * scale) * (g + sgd.weight_decay * p)
+
+    velocity = jax.tree_util.tree_map_with_path(
+        update, state.velocity, grads, state.params)
+    params = jax.tree.map(lambda p, v: p + v, state.params, velocity)
+    return params, velocity
+
+
 def make_train_step(apply_fn: Callable, loss_fn: LossFn,
                     sgd: SGDConfig = SGDConfig(),
                     has_batch_stats: bool = True,
@@ -123,17 +146,8 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
             compute, has_aux=True
         )(state.params)
 
-        def update(path, v, g, p):
-            g = g.astype(jnp.float32)
-            scale = 1.0
-            if lr_scale_fn is not None:
-                names = tuple(str(getattr(k, "key", k)) for k in path)
-                scale = float(lr_scale_fn(names))
-            return sgd.momentum * v - (lr * scale) * (g + sgd.weight_decay * p)
-
-        velocity = jax.tree_util.tree_map_with_path(
-            update, state.velocity, grads, state.params)
-        params = jax.tree.map(lambda p, v: p + v, state.params, velocity)
+        params, velocity = apply_sgd_update(state, grads, lr, sgd,
+                                            lr_scale_fn)
         metrics = dict(metrics, loss=loss)
         new_state = state.replace(
             params=params,

@@ -24,7 +24,7 @@ Conventions handled:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -2,12 +2,9 @@
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable
 
-import jax
-import jax.numpy as jnp
 
-from mcncrossmodalemotions_tpu import EMOTIONS
 from mcncrossmodalemotions_tpu.losses import (
     class_error,
     distillation_ce,
