@@ -155,3 +155,42 @@ def test_apply_splits_explicit_mapping_generates_heard_val(tmp_path):
     imdb2 = apply_splits(imdb, speaker_to_set=mapping,
                          heard_val_fraction=0.2, seed=0)
     np.testing.assert_array_equal(imdb.set_id, imdb2.set_id)
+
+
+def test_cli_ferplus_with_csvs(tmp_path, monkeypatch):
+    """CLI ferplus command end-to-end on synthetic csvs (dev mode)."""
+    from mcncrossmodalemotions_tpu.cli import main
+
+    pix = " ".join(["120"] * (48 * 48))
+    fer = tmp_path / "fer2013.csv"
+    plus = tmp_path / "fer2013new.csv"
+    rows_fer = ["emotion,pixels,Usage"]
+    rows_plus = ["Usage,Image name,neutral,happiness,surprise,sadness,"
+                 "anger,disgust,fear,contempt,unknown,NF"]
+    for i in range(30):
+        usage = ["Training", "PublicTest", "PrivateTest"][i % 3]
+        rows_fer.append(f"0,{pix},{usage}")
+        votes = ["0"] * 10
+        votes[i % 4] = "8"
+        rows_plus.append(f"{usage},fer{i:07d}.png," + ",".join(votes))
+    fer.write_text("\n".join(rows_fer))
+    plus.write_text("\n".join(rows_plus))
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "ferplus", f"data.fer_csv={fer}", f"data.ferplus_csv={plus}",
+        "tiny_model=true", "input_size=48", "dropout=0.0", "batch_size=8",
+        "lr_values=[0.05]", "lr_epochs=[1]", f"out_root={tmp_path}/exps",
+    ])
+    assert rc == 0
+    import pathlib
+
+    assert list(pathlib.Path(tmp_path, "exps").rglob("net-epoch-1.msgpack"))
+
+
+def test_cli_distill_missing_data_errors(tmp_path, monkeypatch):
+    from mcncrossmodalemotions_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        main(["distill", "num_epochs=1", "tiny_model=true",
+              f"data_root={tmp_path}/nonexistent"])
