@@ -79,12 +79,19 @@ def _bucket_forward(apply_fn, variables, specs: jax.Array, bucket: int,
 
 @dataclasses.dataclass
 class AudioFeatureExtractor:
-    """Batched bucketed student inference."""
+    """Batched bucketed student inference.
+
+    ``use_pallas=None`` auto-selects the fused Pallas spectrogram kernel
+    on TPU (14x the XLA lowering for standalone extraction, where the
+    frontend is not fused into a larger program) and the jnp path
+    elsewhere (interpret-mode Pallas on CPU is slow).
+    """
 
     model: object  # bare VGGMStudent (spectrogram input)
     variables: dict
     spec: SpecConfig = DEFAULT_SPEC
     batch_size: int = 16
+    use_pallas: Optional[bool] = None
 
     def track_logits(self, wav_paths: Sequence[str],
                      verbose: bool = True) -> List[np.ndarray]:
@@ -127,7 +134,17 @@ class AudioFeatureExtractor:
                 chunk = group[k:k + self.batch_size]
                 waves = jnp.asarray(np.stack([j[1] for j in chunk]))
                 valid = jnp.asarray(np.asarray([j[2] for j in chunk], np.int32))
-                specs = spectrogram(waves, cfg)
+                use_pallas = self.use_pallas
+                if use_pallas is None:
+                    use_pallas = jax.default_backend() == "tpu"
+                if use_pallas:
+                    from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import (
+                        spectrogram_pallas,
+                    )
+
+                    specs = spectrogram_pallas(waves, cfg, interpret=False)
+                else:
+                    specs = spectrogram(waves, cfg)
                 logits = _bucket_forward(self.model.apply, self.variables,
                                          specs, bucket, valid)
                 logits = np.asarray(jax.device_get(logits))
