@@ -10,6 +10,7 @@ loss type and dropout, and return (model, loss_fn, class_names).
 from mcncrossmodalemotions_tpu.zoo.registry import (
     build_student,
     build_teacher,
+    load_pretrained_student,
     student_loss_fn,
     teacher_loss_fn,
 )
@@ -17,6 +18,7 @@ from mcncrossmodalemotions_tpu.zoo.registry import (
 __all__ = [
     "build_student",
     "build_teacher",
+    "load_pretrained_student",
     "student_loss_fn",
     "teacher_loss_fn",
 ]

@@ -49,6 +49,39 @@ def build_student(name: str = "emovoxceleb-student", *,
     return VGGMStudent(dropout_rate=dropout, **kw)
 
 
+def load_pretrained_student(mat_path, *, num_outputs: int = 8,
+                            with_frontend: bool = True,
+                            spec: SpecConfig = DEFAULT_SPEC):
+    """Load a released MatConvNet student .mat into the Flax model.
+
+    The fromScratch=False path of emoVoxZoo (emoVoxZoo.m:25-44): returns
+    (model, variables) with imported weights, ready for eval or continued
+    training. With ``with_frontend`` the variables are nested under the
+    pipeline's 'net' submodule.
+    """
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import import_vggm_student
+
+    variables = import_vggm_student(mat_path)
+    # VGGMStudent convs are bias-free (bn absorbs them); drop stray biases
+    for name in [f"conv{i}" for i in range(1, 6)] + ["fc6"]:
+        variables["params"].get(name, {}).pop("bias", None)
+    # architecture dims come from the release, not the defaults
+    params = variables["params"]
+    fc6 = int(params["fc6"]["kernel"].shape[-1])
+    fc7 = int(params["fc7"]["kernel"].shape[-1])
+    num_outputs = int(params["prediction"]["kernel"].shape[-1])
+    if with_frontend:
+        model = AudioStudentPipeline(spec=spec, num_outputs=num_outputs,
+                                     fc6_features=fc6, fc7_features=fc7)
+    else:
+        model = VGGMStudent(num_outputs=num_outputs, fc6_features=fc6,
+                            fc7_features=fc7)
+    if with_frontend:
+        variables = {"params": {"net": variables["params"]},
+                     "batch_stats": {"net": variables["batch_stats"]}}
+    return model, variables
+
+
 def build_teacher(name: str = "senet50-ferplus", *,
                   num_outputs: int = 8,
                   tiny: bool = False) -> ResNet:
