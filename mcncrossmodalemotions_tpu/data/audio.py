@@ -100,13 +100,16 @@ def read_wav(path: str | Path, start: int = 0,
     return data, info.sample_rate
 
 
+def float_to_pcm16(samples: np.ndarray) -> np.ndarray:
+    """MATLAB audiowrite convention: scale by 32768, clip to int16 range;
+    audioread divides by 32768, so the round-trip is pure quantisation."""
+    samples = np.asarray(samples, np.float32)
+    return np.clip(np.round(samples * 32768.0), -32768, 32767).astype(np.int16)
+
+
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     """PCM16 wav writer (for synthetic fixtures and sample_audio exports)."""
-    # MATLAB audiowrite convention: scale by 32768, clip to int16 range;
-    # audioread divides by 32768, so the round-trip is pure quantisation.
-    samples = np.asarray(samples, np.float32)
-    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
-    payload = pcm.tobytes()
+    payload = float_to_pcm16(samples).astype("<i2").tobytes()
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:

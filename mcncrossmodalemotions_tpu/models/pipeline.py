@@ -50,10 +50,8 @@ class AudioStudentPipeline(nn.Module):
         )
 
     def frontend(self, x: jax.Array, valid_frames=None) -> jax.Array:
-        if x.dtype == jnp.int16:
-            # int16 PCM ships at half the host->device bytes; dequantise
-            # on device with the audioread convention (/32768).
-            x = x.astype(jnp.float32) / 32768.0
+        # int16 PCM decode happens inside the spectrogram ops (shared by
+        # every consumer of the batchers' compact feed format).
         if self.use_pallas_frontend:
             from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import (
                 spectrogram_pallas,

@@ -16,8 +16,8 @@ native 48x48 resolution inside the batch loader
 an arbitrary-affine bilinear sample is a scattered gather, which the TPU
 runtime compiles/executes pathologically; at 48x48 on CPU it is
 microseconds per image. The device keeps the regular work: fliplr is a
-lane reversal, the 48->224 resize is ``jax.image.resize`` (lowers to two
-separable matmuls on the MXU), and replicate+mean-subtract fuse into the
+lane reversal, the 48->224 resize is a separable align-corners
+bilinear (two HIGHEST-precision MXU matmuls, ops/warp.resize_separable), and replicate+mean-subtract fuse into the
 teacher's first conv.
 """
 
@@ -57,10 +57,9 @@ class FaceTeacherPipeline(nn.Module):
             flip = jax.random.bernoulli(rng, self.flip_prob, (b,))
             x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
         if x.shape[1] != self.input_size or x.shape[2] != self.input_size:
-            x = jax.image.resize(
-                x, (b, self.input_size, self.input_size, x.shape[3]),
-                method="bilinear",
-            )
+            from mcncrossmodalemotions_tpu.ops.warp import resize_separable
+
+            x = resize_separable(x, self.input_size, self.input_size)
         x = jnp.repeat(x, 3, axis=-1)  # grayscale -> 3 channels
         x = x - jnp.asarray(self.mean_rgb, jnp.float32)[None, None, None, :]
         return self.teacher(x, train=train, return_embedding=return_embedding)

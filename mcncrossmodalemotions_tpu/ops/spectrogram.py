@@ -117,11 +117,22 @@ def dft_matrices(win_length: int, nfft: int, windowed: bool = True):
     return jnp.asarray(cos_m), jnp.asarray(sin_m)
 
 
+def decode_pcm(x: jax.Array) -> jax.Array:
+    """Accept int16 PCM waveforms (the batchers' compact feed format) and
+    dequantise on device with the audioread convention; floats pass
+    through. Lives at the frontend entry so EVERY spectrogram consumer
+    honours the int16 batch contract."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) / 32768.0
+    return x
+
+
 def preemphasis(x: jax.Array, alpha: float = 0.97) -> jax.Array:
     """MATLAB ``filter([1 -alpha], 1, x)`` along the last axis.
 
     y[0] = x[0]; y[n] = x[n] - alpha*x[n-1].
     """
+    x = decode_pcm(x)
     return jnp.concatenate([x[..., :1], x[..., 1:] - alpha * x[..., :-1]], axis=-1)
 
 

@@ -139,6 +139,43 @@ def resize_bilinear(images: jax.Array, out_height: int, out_width: int) -> jax.A
                        out_height, out_width)
 
 
+def resize_separable(images: jax.Array, out_height: int,
+                     out_width: int) -> jax.Array:
+    """Align-corners bilinear resize as two separable MXU matmuls.
+
+    The TPU-fast path used by the teacher pipeline: matches the
+    framework's canonical align-corners convention (host numpy resize,
+    C++ data service, warp samplers) unlike ``jax.image.resize``'s
+    half-pixel convention, and runs at HIGHEST precision (the default
+    matmul precision truncates to bf16 — ~0.5 intensity levels of error
+    on 0-255 images).
+    """
+    import numpy as np
+
+    b, h, w, c = images.shape
+    if (h, w) == (out_height, out_width):
+        return images
+
+    def weights(n_in: int, n_out: int) -> jax.Array:
+        if n_out == 1 or n_in == 1:
+            return jnp.full((n_in, n_out), 1.0 / n_in, jnp.float32)
+        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        lo = np.clip(np.floor(pos).astype(int), 0, n_in - 1)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = pos - lo
+        mat = np.zeros((n_in, n_out), np.float32)
+        mat[lo, np.arange(n_out)] += 1.0 - frac
+        mat[hi, np.arange(n_out)] += frac
+        return jnp.asarray(mat)
+
+    wy = weights(h, out_height)  # [H, H']
+    wx = weights(w, out_width)   # [W, W']
+    out = jnp.einsum("bhwc,hH->bHwc", images.astype(jnp.float32), wy,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bHwc,wW->bHWc", out, wx,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------------------
 # Host (numpy) implementations — used by the batch loaders
 # ---------------------------------------------------------------------------

@@ -206,16 +206,34 @@ class Trainer:
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
         SENTINEL = object()
+        stop = threading.Event()
         error: list = []
 
         def produce():
             try:
                 for item in batches:
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as exc:  # surfaced on the consumer side
                 error.append(exc)
             finally:
-                q.put(SENTINEL)
+                # The sentinel MUST eventually land for the normal path
+                # (consumer still draining a full queue) — a single
+                # put_nowait can hit Full and leave the consumer blocked
+                # forever. Retry until delivered or the consumer has
+                # abandoned us (stop set).
+                while not stop.is_set():
+                    try:
+                        q.put(SENTINEL, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -229,16 +247,27 @@ class Trainer:
                     return
                 yield item
 
-        it = host_batches()
         try:
-            pending = self._to_device(next(it))
-        except StopIteration:
-            return
-        for nxt in it:
-            current = pending
-            pending = self._to_device(nxt)  # async copy starts now
-            yield current
-        yield pending
+            it = host_batches()
+            try:
+                pending = self._to_device(next(it))
+            except StopIteration:
+                return
+            for nxt in it:
+                current = pending
+                pending = self._to_device(nxt)  # async copy starts now
+                yield current
+            yield pending
+        finally:
+            # Consumer abandoned mid-epoch (NaN tripwire, step exception,
+            # interrupt): unblock and end the producer thread instead of
+            # leaking it parked on a full queue.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     # -- state ------------------------------------------------------------
     def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:

@@ -49,23 +49,33 @@ def build_student(name: str = "emovoxceleb-student", *,
     return VGGMStudent(dropout_rate=dropout, **kw)
 
 
-def load_pretrained_student(mat_path, *, num_outputs: int = 8,
-                            with_frontend: bool = True,
+def load_pretrained_student(mat_path, *, with_frontend: bool = True,
                             spec: SpecConfig = DEFAULT_SPEC):
     """Load a released MatConvNet student .mat into the Flax model.
 
     The fromScratch=False path of emoVoxZoo (emoVoxZoo.m:25-44): returns
     (model, variables) with imported weights, ready for eval or continued
-    training. With ``with_frontend`` the variables are nested under the
+    training. Architecture dims (fc6/fc7/head widths) come from the
+    release. With ``with_frontend`` the variables are nested under the
     pipeline's 'net' submodule.
     """
+    import numpy as np
+
     from mcncrossmodalemotions_tpu.zoo.matconvnet import import_vggm_student
 
     variables = import_vggm_student(mat_path)
-    # VGGMStudent convs are bias-free (bn absorbs them); drop stray biases
-    for name in [f"conv{i}" for i in range(1, 6)] + ["fc6"]:
-        variables["params"].get(name, {}).pop("bias", None)
-    # architecture dims come from the release, not the defaults
+    # VGGMStudent convs are bias-free (the following BN absorbs the bias):
+    # a released bias b shifts the BN input, and the release's running
+    # mean mu was estimated on conv(x)+b, so dropping b must shift the
+    # mean to mu-b to keep (z-mu)/sigma identical.
+    bn_for = {f"conv{i}": f"bn{i}" for i in range(1, 6)}
+    bn_for["fc6"] = "bn6"
+    for conv_name, bn_name in bn_for.items():
+        conv = variables["params"].get(conv_name, {})
+        bias = conv.pop("bias", None)
+        if bias is not None and bn_name in variables["batch_stats"]:
+            stats = variables["batch_stats"][bn_name]
+            stats["mean"] = np.asarray(stats["mean"]) - np.asarray(bias)
     params = variables["params"]
     fc6 = int(params["fc6"]["kernel"].shape[-1])
     fc7 = int(params["fc7"]["kernel"].shape[-1])

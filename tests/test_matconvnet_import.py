@@ -142,3 +142,31 @@ def test_load_pretrained_student_pipeline(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
     # pipeline nesting shape is correct
     assert "net" in imported["params"]
+
+
+def test_pretrained_bias_folded_into_bn_mean(tmp_path):
+    """Released conv biases must fold into the BN running means, not be
+    silently dropped (z-mu invariance: mean' = mean - bias)."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_student
+
+    model = VGGMStudent(fc6_features=32, fc7_features=16)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 512, 100, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    mat = _flax_to_matconvnet(jax.device_get(variables))
+    # give conv1 a nonzero released bias and shift its BN mean to match,
+    # so the biased release is numerically equivalent to `variables`
+    bias = rng.randn(96).astype(np.float32)
+    mat["conv1b"] = bias
+    mat["bn1m"] = mat["bn1m"].copy()
+    mat["bn1m"][:, 0] = mat["bn1m"][:, 0] + bias
+    mat_path = tmp_path / "biased.mat"
+    _save_dagnn_mat(mat_path, mat)
+
+    loaded_model, loaded_vars = load_pretrained_student(mat_path,
+                                                        with_frontend=False)
+    ref = model.apply(variables, x)
+    got = loaded_model.apply(loaded_vars, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

@@ -176,3 +176,27 @@ def test_augment_batch_np_half_identity(rng):
     out = augment_batch_np(images, np.random.RandomState(0))
     unchanged = sum(np.array_equal(out[i], images[i]) for i in range(64))
     assert 16 <= unchanged <= 48
+
+
+def test_resize_separable_matches_host_convention(rng):
+    """The separable MXU resize must match the canonical align-corners
+    numpy resize (same convention as the C++ service and warp samplers)."""
+    from mcncrossmodalemotions_tpu.data.images import resize_bilinear_np
+    from mcncrossmodalemotions_tpu.ops.warp import resize_separable
+
+    img = rng.randint(0, 255, (2, 48, 48, 1)).astype(np.float32)
+    got = np.asarray(resize_separable(jnp.asarray(img), 224, 224))
+    for b in range(2):
+        ref = resize_bilinear_np(img[b], 224, 224)
+        np.testing.assert_allclose(got[b], ref, atol=1e-2)
+
+
+def test_resize_separable_identity_and_downscale(rng):
+    from mcncrossmodalemotions_tpu.ops.warp import resize_separable
+
+    img = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    same = resize_separable(img, 16, 16)
+    assert same is img  # no-op fast path
+    down = np.asarray(resize_separable(img, 8, 8))
+    assert down.shape == (1, 8, 8, 3)
+    assert np.isfinite(down).all()
