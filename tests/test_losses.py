@@ -93,3 +93,30 @@ def test_per_class_stats():
     correct, pop = per_class_stats(logits, labels, 2)
     np.testing.assert_array_equal(np.asarray(pop), [1.0, 2.0])
     np.testing.assert_array_equal(np.asarray(correct), [1.0, 1.0])
+
+
+def test_euclidean_gradient_matches_analytic(rng):
+    """grad = (pred - target) / B under the 0.5*sum-of-squares convention."""
+    p = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    t = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    g = jax.grad(lambda p_: euclidean_loss(p_, t))(p)
+    np.testing.assert_allclose(np.asarray(g), (np.asarray(p) - np.asarray(t)) / 4,
+                               atol=1e-6)
+
+
+def test_huber_gradient_bounded(rng):
+    """Huber grads saturate at +/-1/B in the linear region (outliers)."""
+    p = jnp.asarray([[100.0, -100.0, 0.1, -0.1]])
+    t = jnp.zeros((1, 4))
+    g = np.asarray(jax.grad(lambda p_: huber_loss(p_, t))(p))
+    np.testing.assert_allclose(g[0, :2], [1.0, -1.0], atol=1e-6)
+    np.testing.assert_allclose(g[0, 2:], [0.1, -0.1], atol=1e-6)
+
+
+def test_distribution_ce_minimised_at_target(rng):
+    """CE vs a distribution is minimised when softmax(logits) == target."""
+    target = np.asarray([[0.6, 0.3, 0.1]], np.float32)
+    logits_opt = jnp.asarray(np.log(target))
+    loss_opt = float(distribution_ce(logits_opt, jnp.asarray(target)))
+    logits_other = jnp.asarray(rng.randn(1, 3).astype(np.float32))
+    assert float(distribution_ce(logits_other, jnp.asarray(target))) >= loss_opt - 1e-6

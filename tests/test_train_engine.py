@@ -179,3 +179,38 @@ def test_finetune_lr_scaling():
         uni["prediction"]["kernel"], rel=1e-5)
     assert ft["backbone"]["kernel"] == pytest.approx(
         uni["backbone"]["kernel"] * 0.1, rel=1e-4)
+
+
+def test_profiler_trace_written(tmp_path):
+    """TrainConfig.profile_dir captures a jax.profiler trace of epoch 1."""
+    data, labels = _make_data(n=32)
+    cfg = TrainConfig(num_epochs=1, batch_size=16, learning_rate=0.05,
+                      weight_decay=0.0, exp_dir=str(tmp_path / "exp"),
+                      log_every=1000, profile_dir=str(tmp_path / "trace"))
+    trainer = Trainer(TinyNet(), _loss_fn, cfg)
+    trainer.fit(_batches(data, labels), example_batch={"data": data[:2]})
+    trace_files = list((tmp_path / "trace").rglob("*"))
+    assert trace_files, "profiler should write trace artifacts"
+
+
+def test_producer_thread_cleanup_on_error(tmp_path):
+    """A mid-epoch exception must not leak the batch-producer thread."""
+    import threading
+    import time as _time
+
+    data, labels = _make_data(n=96)
+    cfg = TrainConfig(num_epochs=1, batch_size=16, learning_rate=0.05,
+                      weight_decay=0.0, exp_dir=str(tmp_path / "exp"),
+                      log_every=1000)
+    trainer = Trainer(TinyNet(), _loss_fn, cfg)
+    state = trainer.init_state({"data": data[:2]})
+
+    def exploding_batches():
+        yield {"data": data[:16], "label": labels[:16]}
+        raise RuntimeError("loader exploded")
+
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        trainer.run_epoch(state, exploding_batches(), epoch=1, train=True)
+    _time.sleep(1.5)  # give the producer its shutdown window
+    assert threading.active_count() <= before + 1
