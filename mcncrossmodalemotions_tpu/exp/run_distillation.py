@@ -53,6 +53,8 @@ class DistillationConfig:
     lr_stop_exp: float = -5.0
     mini_val: float = 0.2        # fraction of val kept (rng seed 0, :141-146)
     mini_epoch_ratio: float = 0.05  # epochSize fraction (:77,154)
+    weight_decay: float = 5e-4   # cnn_train_dag default (not overridden
+                                 # by run_distillation.m)
     dropout: float = 0.0
     seed: int = 0
     data_root: str = "data/emovoxceleb"
@@ -146,7 +148,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         batch_size=cfg.batch_size,
         learning_rate=logspace_lr(cfg.lr_start_exp, cfg.lr_stop_exp,
                                   cfg.num_epochs),
-        weight_decay=0.0,
+        weight_decay=cfg.weight_decay,
         seed=cfg.seed,
         exp_dir=str(exp_dir),
         resume=resume,
@@ -175,7 +177,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
             loss_type=cfg.loss_type, temperature=cfg.temperature,
             aggregator=cfg.logit_aggregator,
             num_classes=cfg.num_pred_emotions,
-            sgd=SGDConfig(weight_decay=0.0),
+            sgd=SGDConfig(weight_decay=cfg.weight_decay),
             rng_names=("dropout",) if cfg.dropout > 0 else (),
         )
     trainer = Trainer(model, loss_fn, tcfg,
