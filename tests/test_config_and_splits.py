@@ -194,3 +194,24 @@ def test_cli_distill_missing_data_errors(tmp_path, monkeypatch):
     with pytest.raises(FileNotFoundError):
         main(["distill", "num_epochs=1", "tiny_model=true",
               f"data_root={tmp_path}/nonexistent"])
+
+
+def test_cli_distill_with_saved_imdb(tmp_path, monkeypatch):
+    """CLI distill command end-to-end from a saved imdb npz (data_root)."""
+    from mcncrossmodalemotions_tpu.cli import main
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=3)
+    data_root = tmp_path / "data"
+    imdb.save(data_root / "emovoxceleb-imdb.npz")
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "distill", "num_epochs=1", "batch_size=2", "tiny_model=true",
+        "mini_epoch_ratio=1.0", "mini_val=1.0",
+        f"data_root={data_root}", f"out_root={tmp_path}/exps",
+    ])
+    assert rc == 0
+    import pathlib
+
+    assert list(pathlib.Path(tmp_path, "exps").rglob("net-epoch-1.msgpack"))
