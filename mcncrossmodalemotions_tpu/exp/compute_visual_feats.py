@@ -27,7 +27,9 @@ class VisualFeatureExtractor:
 
     ``model`` is a FaceTeacherPipeline (uint8 grayscale in, logits out;
     preprocessing on device). Frames are decoded by a host thread pool
-    and double-buffered against device compute.
+    and double-buffered against device compute. With ``mesh`` the batch
+    is sharded over the mesh's data axis (multi-chip inference: same
+    code, N chips each take 1/N of every batch).
     """
 
     model: object
@@ -35,22 +37,66 @@ class VisualFeatureExtractor:
     batch_size: int = 128
     num_threads: int = 8
     input_size: int = 224
+    mesh: object = None
 
     def __post_init__(self):
-        self._forward = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False)
-        )
+        forward = lambda v, x: self.model.apply(v, x, train=False)
+        if self.mesh is not None:
+            from mcncrossmodalemotions_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(replicated_sharding(self.mesh),
+                              batch_sharding(self.mesh)),
+                out_shardings=replicated_sharding(self.mesh),
+            )
+        else:
+            self._forward = jax.jit(forward)
 
     def frame_logits(self, frame_paths: Sequence[str],
-                     verbose: bool = True) -> np.ndarray:
-        """[N, C] logits over a flat frame list, batched + prefetched."""
+                     verbose: bool = True,
+                     partial_path: Optional[str] = None,
+                     checkpoint_every: int = 200) -> np.ndarray:
+        """[N, C] logits over a flat frame list, batched + prefetched.
+
+        ``partial_path`` makes the dense pass resumable (the reference's
+        only recovery was rerunning the whole multi-hour loop): completed
+        logits are flushed every ``checkpoint_every`` batches and reloaded
+        on restart, keyed on the frame count.
+        """
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(frame_paths)
+        done = 0
         out = []
+        if partial_path and Path(partial_path).exists():
+            data = np.load(partial_path)
+            if int(data["total"]) == n:
+                saved = data["logits"]
+                done = saved.shape[0]
+                out.append(saved)
+                if verbose:
+                    print(f"resuming dense inference at {done}/{n} frames")
+
+        def flush():
+            if not partial_path:
+                return
+            merged = np.concatenate(out) if out else np.zeros((0, 8), np.float32)
+            tmp = Path(partial_path).with_suffix(".tmp.npz")
+            tmp.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(tmp, logits=merged, total=n)
+            tmp.replace(partial_path)
+
         eta = Eta(n, "visual-feats", log_every=10 * self.batch_size) if verbose else None
+        if eta:
+            eta.tick(done)
         chunks = [frame_paths[i:i + self.batch_size]
-                  for i in range(0, n, self.batch_size)]
+                  for i in range(done, n, self.batch_size)]
+        if not chunks:
+            return np.concatenate(out) if out else np.zeros((0, 8), np.float32)
         with ThreadPoolExecutor(max_workers=1) as prefetcher:
             future = prefetcher.submit(load_frame_batch, chunks[0],
                                        self.input_size, self.num_threads)
@@ -66,7 +112,12 @@ class VisualFeatureExtractor:
                 out.append(np.asarray(jax.device_get(logits))[: len(chunk)])
                 if eta:
                     eta.tick(len(chunk))
-        return np.concatenate(out) if out else np.zeros((0, 8), np.float32)
+                if partial_path and (ci + 1) % checkpoint_every == 0:
+                    flush()
+        result = np.concatenate(out) if out else np.zeros((0, 8), np.float32)
+        if partial_path:
+            Path(partial_path).unlink(missing_ok=True)  # complete: no resume needed
+        return result
 
 
 def compute_visual_feats(imdb, model=None, variables=None,

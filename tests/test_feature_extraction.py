@@ -149,3 +149,50 @@ def test_fetch_emovoxceleb_imdb_build(tmp_path, tiny_teacher_pipeline):
     # second fetch hits the in-memory cache (same object)
     again = fetch_emovoxceleb_imdb(root, cache_path=str(cache))
     assert again is imdb
+
+
+def test_visual_extractor_resume_from_partial(tmp_path, tiny_teacher_pipeline):
+    """The dense pass resumes from a partial checkpoint and matches a
+    clean run exactly."""
+    from mcncrossmodalemotions_tpu.data.images import save_synthetic_frame
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+    )
+
+    model, variables = tiny_teacher_pipeline
+    paths = []
+    for i in range(10):
+        p = tmp_path / f"f{i:02d}.jpg"
+        save_synthetic_frame(p, i % 4, seed=i)
+        paths.append(str(p))
+    ex = VisualFeatureExtractor(model, variables, batch_size=2)
+    clean = ex.frame_logits(paths, verbose=False)
+
+    # simulate an interrupted run: checkpoint after every batch, crash at 3
+    partial = tmp_path / "partial.npz"
+    np.savez(partial, logits=clean[:6], total=len(paths))
+    resumed = ex.frame_logits(paths, verbose=False, partial_path=str(partial))
+    np.testing.assert_allclose(resumed, clean, atol=1e-5)
+    assert not partial.exists()  # cleaned up on completion
+
+
+def test_visual_extractor_with_mesh(tmp_path, tiny_teacher_pipeline):
+    """Mesh-sharded inference == single-device inference."""
+    from mcncrossmodalemotions_tpu.data.images import save_synthetic_frame
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+    )
+    from mcncrossmodalemotions_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_teacher_pipeline
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"m{i:02d}.jpg"
+        save_synthetic_frame(p, i % 3, seed=i)
+        paths.append(str(p))
+    single = VisualFeatureExtractor(model, variables, batch_size=8)
+    sharded = VisualFeatureExtractor(model, variables, batch_size=8,
+                                     mesh=make_mesh())
+    a = single.frame_logits(paths, verbose=False)
+    b = sharded.frame_logits(paths, verbose=False)
+    np.testing.assert_allclose(a, b, atol=1e-4)
