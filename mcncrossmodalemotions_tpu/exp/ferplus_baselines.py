@@ -81,13 +81,20 @@ def build_pipeline(cfg: FerPlusConfig) -> FaceTeacherPipeline:
 def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
                       evaluate_only: Optional[str] = None,
                       use_best_epoch: bool = False,
-                      mesh=None, resume: bool = True):
+                      mesh="auto", resume: bool = True):
     """Train (or eval) the teacher; returns (state, history | eval_stats).
 
     ``evaluate_only`` in {'val','test'} runs one evaluation pass over that
     subset (ferplus_baselines.m:120-136), loading the best or latest
-    checkpoint from the experiment dir.
+    checkpoint from the experiment dir. ``mesh="auto"`` goes data-parallel
+    over every visible device; None forces single-device.
     """
+    if mesh == "auto":
+        import jax
+
+        from mcncrossmodalemotions_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
     if cfg.dev:
         keep = np.concatenate([
             np.where(imdb.set_id == s)[0][:1000] for s in (1, 2, 3)

@@ -109,14 +109,23 @@ def split_imdb(imdb: EmoVoxImdb, mini_val: float, seed: int = 0):
 
 
 def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
-                     mesh=None, resume: bool = True,
+                     mesh="auto", resume: bool = True,
                      teacher_model=None, teacher_variables=None):
     """Returns (final_state, history, exp_dir).
 
     ``teacher_model``/``teacher_variables`` are required when
     ``cfg.online_teacher`` is set (the fused mode); the offline mode uses
-    the imdb's cached wav_logits.
+    the imdb's cached wav_logits. ``mesh="auto"`` builds a data-parallel
+    mesh over every visible device (the reference's gpus=[1 2] option,
+    run_distillation.m:74) — pass None to force single-device or a Mesh
+    to control placement.
     """
+    if mesh == "auto":
+        import jax
+
+        from mcncrossmodalemotions_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
     if imdb is None:
         imdb_path = Path(cfg.data_root) / "emovoxceleb-imdb.npz"
         if not imdb_path.exists():

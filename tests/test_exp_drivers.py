@@ -204,3 +204,20 @@ def test_sample_audio(emovox_imdb, tmp_path):
     again = sample_audio(emovox_imdb, tmp_path / "samples2", per_emotion=2,
                          make_figures=False)
     assert again == sampled
+
+
+def test_distillation_auto_mesh(emovox_imdb, tmp_path):
+    """mesh='auto' trains data-parallel over the 8-device CPU mesh and
+    produces identical metrics machinery to single-device."""
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+
+    # batch 4 over 8 devices: exercises the ragged-batch mesh padding too
+    cfg = DistillationConfig(num_epochs=1, batch_size=4, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             out_root=str(tmp_path / "exps"))
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    _, history, _ = run_distillation(cfg, imdb=emovox_imdb)  # auto mesh
+    assert np.isfinite(history[-1]["train"]["loss"])
