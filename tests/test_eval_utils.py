@@ -88,3 +88,23 @@ def test_mnr_binary_matches_logistic(rng):
     beta = mnrfit(x, 1 - y, num_classes=2)
     # beta estimates the log-odds of class 0 (=y==1) vs class 1
     np.testing.assert_allclose(beta[:, 0], [0.5, 1.5, -2.0], atol=0.5)
+
+
+def test_eta_and_metrics_logger(tmp_path, capsys):
+    from mcncrossmodalemotions_tpu.utils.logging import Eta, MetricsLogger, progress
+
+    eta = Eta(10, name="unit", log_every=5)
+    for _ in range(10):
+        eta.tick()
+    err = capsys.readouterr().err
+    assert "unit" in err and "10/10" in err
+
+    consumed = list(progress(range(3), name="p", log_every=10))
+    assert consumed == [0, 1, 2]
+
+    log = MetricsLogger(tmp_path / "m.jsonl")
+    log.log({"epoch": 1, "loss": 0.5})
+    log.log({"epoch": 2, "loss": 0.25})
+    records = log.read()
+    assert [r["epoch"] for r in records] == [1, 2]
+    assert records[1]["loss"] == 0.25
