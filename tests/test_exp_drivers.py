@@ -221,3 +221,50 @@ def test_distillation_auto_mesh(emovox_imdb, tmp_path):
     assert len(jax.devices()) == 8  # conftest virtual mesh
     _, history, _ = run_distillation(cfg, imdb=emovox_imdb)  # auto mesh
     assert np.isfinite(history[-1]["train"]["loss"])
+
+
+def test_distillation_all_loss_types(emovox_imdb, tmp_path):
+    """Every reference loss stack trains end to end: euclidean (with
+    instance weights), huber, softmaxlog, hot-cross-ent (emoVoxZoo.m
+    lossType registry)."""
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+
+    for loss_type in ("euclidean", "huber", "softmaxlog", "hot-cross-ent"):
+        cfg = DistillationConfig(num_epochs=1, batch_size=4, tiny_model=True,
+                                 mini_epoch_ratio=1.0, mini_val=1.0,
+                                 loss_type=loss_type,
+                                 out_root=str(tmp_path / loss_type))
+        _, history, _ = run_distillation(cfg, imdb=emovox_imdb, mesh=None)
+        assert np.isfinite(history[-1]["train"]["loss"]), loss_type
+
+
+def test_batcher_speed_and_noise_aug_trains(emovox_imdb, tmp_path):
+    """The speed-perturb + noise-mix augmentation path (python loader)
+    produces valid batches that train."""
+    from mcncrossmodalemotions_tpu.data.emovox import BatchConfig, EmoVoxBatcher
+    from mcncrossmodalemotions_tpu.losses import class_error
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+    from mcncrossmodalemotions_tpu.zoo import build_student, student_loss_fn
+
+    cfg = BatchConfig(batch_size=3, speed_aug=True, noise_aug=True)
+    batcher = EmoVoxBatcher(emovox_imdb, cfg, train=True, seed=0)
+    batches = list(batcher.batches(epoch=1))
+    assert batches[0]["data"].shape[1] == cfg.crop_samples
+    assert all(np.isfinite(b["logit_target"]).all() for b in batches)
+    # augmentation draws differ across epochs (same indices, new rng)
+    b2 = next(iter(batcher.batches(epoch=2)))
+    assert not np.array_equal(batches[0]["data"], b2["data"])
+
+    model = build_student(tiny=True)
+    trainer = Trainer(
+        model, student_loss_fn(),
+        TrainConfig(num_epochs=1, batch_size=3, learning_rate=0.01,
+                    weight_decay=0.0, log_every=1000, resume=False,
+                    exp_dir=str(tmp_path / "aug_exp")),
+        mesh=None)
+    state = trainer.init_state(batches[0])
+    state, stats = trainer.run_epoch(state, iter(batches), epoch=1, train=True)
+    assert np.isfinite(stats["loss"])
