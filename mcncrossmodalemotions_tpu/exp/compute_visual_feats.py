@@ -56,6 +56,36 @@ class VisualFeatureExtractor:
         else:
             self._forward = jax.jit(forward)
 
+    def _job_key(self, frame_paths: Sequence[str]) -> str:
+        """Fingerprint of (frame list, model weights) guarding resume.
+
+        A partial checkpoint is only valid for the exact frame list AND
+        the exact teacher weights — a count-only key would silently mix
+        logits from different models or datasets of equal length.
+        """
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(str(len(frame_paths)).encode())
+        h.update("\n".join(map(str, frame_paths[:: max(1, len(frame_paths) // 4096)])).encode())
+        for leaf in jax.tree.leaves(self.variables):
+            arr = np.asarray(jax.device_get(leaf))
+            h.update(str(arr.shape).encode())
+            h.update(arr.tobytes()[:65536])
+        return h.hexdigest()
+
+    def _pad_batch(self, batch: np.ndarray) -> np.ndarray:
+        """Pad to batch_size, then to a mesh-device multiple (sharded
+        batches must divide evenly; padded rows are trimmed after)."""
+        target = self.batch_size
+        if self.mesh is not None:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            target = -(-target // n_dev) * n_dev
+        pad = target - len(batch)
+        if pad > 0:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
+        return batch
+
     def frame_logits(self, frame_paths: Sequence[str],
                      verbose: bool = True,
                      partial_path: Optional[str] = None,
@@ -64,22 +94,25 @@ class VisualFeatureExtractor:
 
         ``partial_path`` makes the dense pass resumable (the reference's
         only recovery was rerunning the whole multi-hour loop): completed
-        logits are flushed every ``checkpoint_every`` batches and reloaded
-        on restart, keyed on the frame count.
+        logits are flushed periodically and reloaded on restart, keyed on
+        a fingerprint of the frame list and the model weights.
         """
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(frame_paths)
         done = 0
         out = []
+        job_key = self._job_key(frame_paths) if partial_path else ""
         if partial_path and Path(partial_path).exists():
-            data = np.load(partial_path)
-            if int(data["total"]) == n:
+            data = np.load(partial_path, allow_pickle=False)
+            if "key" in data and str(data["key"]) == job_key:
                 saved = data["logits"]
                 done = saved.shape[0]
                 out.append(saved)
                 if verbose:
                     print(f"resuming dense inference at {done}/{n} frames")
+            elif verbose:
+                print("partial checkpoint does not match this job; restarting")
 
         def flush():
             if not partial_path:
@@ -87,16 +120,21 @@ class VisualFeatureExtractor:
             merged = np.concatenate(out) if out else np.zeros((0, 8), np.float32)
             tmp = Path(partial_path).with_suffix(".tmp.npz")
             tmp.parent.mkdir(parents=True, exist_ok=True)
-            np.savez(tmp, logits=merged, total=n)
+            np.savez(tmp, logits=merged, key=job_key)
             tmp.replace(partial_path)
 
-        eta = Eta(n, "visual-feats", log_every=10 * self.batch_size) if verbose else None
-        if eta:
-            eta.tick(done)
+        remaining = n - done
+        eta = (Eta(remaining, "visual-feats", log_every=10 * self.batch_size)
+               if verbose and remaining > 0 else None)
         chunks = [frame_paths[i:i + self.batch_size]
                   for i in range(done, n, self.batch_size)]
         if not chunks:
+            if partial_path:
+                Path(partial_path).unlink(missing_ok=True)  # job complete
             return np.concatenate(out) if out else np.zeros((0, 8), np.float32)
+        # flush cost is O(done-so-far): bound total flushes to ~20 so
+        # checkpoint I/O stays linear in the run length.
+        effective_every = max(checkpoint_every, len(chunks) // 20)
         with ThreadPoolExecutor(max_workers=1) as prefetcher:
             future = prefetcher.submit(load_frame_batch, chunks[0],
                                        self.input_size, self.num_threads)
@@ -105,14 +143,12 @@ class VisualFeatureExtractor:
                 if ci + 1 < len(chunks):  # overlap next decode with compute
                     future = prefetcher.submit(load_frame_batch, chunks[ci + 1],
                                                self.input_size, self.num_threads)
-                pad = self.batch_size - len(batch)
-                if pad > 0:
-                    batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
+                batch = self._pad_batch(batch)
                 logits = self._forward(self.variables, jnp.asarray(batch))
                 out.append(np.asarray(jax.device_get(logits))[: len(chunk)])
                 if eta:
                     eta.tick(len(chunk))
-                if partial_path and (ci + 1) % checkpoint_every == 0:
+                if partial_path and (ci + 1) % effective_every == 0:
                     flush()
         result = np.concatenate(out) if out else np.zeros((0, 8), np.float32)
         if partial_path:
@@ -128,11 +164,14 @@ def compute_visual_feats(imdb, model=None, variables=None,
                          seed: int = 0,
                          frame_root: str = "",
                          limit: Optional[int] = None,
+                         mesh=None,
                          verbose: bool = True) -> List[np.ndarray]:
     """Per-track [F, C] teacher logits for a TrackImdb.
 
     ``model_name='random'`` emits gaussian logits (null baseline).
-    Cached at ``feat_path``.
+    Cached at ``feat_path``; when ``feat_path`` is set the dense pass is
+    also resumable via a ``<feat_path>.partial.npz`` checkpoint. ``mesh``
+    shards inference batches over the device mesh.
     """
     if feat_path and Path(feat_path).exists():
         data = np.load(feat_path, allow_pickle=True)
@@ -148,8 +187,10 @@ def compute_visual_feats(imdb, model=None, variables=None,
         assert model is not None and variables is not None
         flat = [str(Path(frame_root) / p) for track in tracks for p in track]
         extractor = VisualFeatureExtractor(model, variables,
-                                           batch_size=batch_size)
-        all_logits = extractor.frame_logits(flat, verbose=verbose)
+                                           batch_size=batch_size, mesh=mesh)
+        partial = f"{feat_path}.partial.npz" if feat_path else None
+        all_logits = extractor.frame_logits(flat, verbose=verbose,
+                                            partial_path=partial)
         logits, offset = [], 0
         for track in tracks:
             f = len(track)

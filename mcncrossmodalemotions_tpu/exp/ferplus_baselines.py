@@ -90,11 +90,9 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     over every visible device; None forces single-device.
     """
     if mesh == "auto":
-        import jax
+        from mcncrossmodalemotions_tpu.parallel.mesh import auto_mesh
 
-        from mcncrossmodalemotions_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        mesh = auto_mesh(cfg.batch_size)
     if cfg.dev:
         keep = np.concatenate([
             np.where(imdb.set_id == s)[0][:1000] for s in (1, 2, 3)

@@ -49,6 +49,8 @@ def build_imdb(root: str | Path, teacher_model, teacher_variables,
                set_assignment: Optional[Dict[str, int]] = None,
                batch_size: int = 128,
                limit: Optional[int] = None,
+               mesh=None,
+               partial_path: Optional[str] = None,
                verbose: bool = True) -> EmoVoxImdb:
     """Dense teacher inference over all registered frames -> EmoVoxImdb.
 
@@ -75,12 +77,13 @@ def build_imdb(root: str | Path, teacher_model, teacher_variables,
     )
 
     extractor = VisualFeatureExtractor(teacher_model, teacher_variables,
-                                       batch_size=batch_size)
+                                       batch_size=batch_size, mesh=mesh)
     flat = [str(frame_root / f) for track in frames for f in track]
     if verbose:
         print(f"dense teacher inference over {len(flat)} frames "
               f"({len(wav_paths)} tracks)")
-    all_logits = extractor.frame_logits(flat, verbose=verbose)
+    all_logits = extractor.frame_logits(flat, verbose=verbose,
+                                        partial_path=partial_path)
     wav_logits, offset = [], 0
     for track in frames:
         f = len(track)
@@ -114,6 +117,8 @@ def fetch_emovoxceleb_imdb(root: str | Path, teacher_model=None,
             raise FileNotFoundError(
                 f"no cached imdb at {cache_path!r}; pass a teacher model to build"
             )
+        build_kwargs.setdefault(
+            "partial_path", f"{cache_path}.partial.npz" if cache_path else None)
         imdb = build_imdb(root, teacher_model, teacher_variables, **build_kwargs)
         if cache_path:
             imdb.save(cache_path)

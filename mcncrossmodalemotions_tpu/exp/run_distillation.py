@@ -87,7 +87,7 @@ class DistillationConfig:
                     self.num_pred_emotions, self.logit_aggregator,
                     self.dropout, self.seed, self.tiny_model,
                     self.online_teacher, self.lr_start_exp,
-                    self.lr_stop_exp)
+                    self.lr_stop_exp, self.weight_decay)
         suffix = "-online" if self.online_teacher else ""
         return f"{base}{suffix}-{config_hash(identity)}"
 
@@ -121,11 +121,9 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
     to control placement.
     """
     if mesh == "auto":
-        import jax
+        from mcncrossmodalemotions_tpu.parallel.mesh import auto_mesh
 
-        from mcncrossmodalemotions_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        mesh = auto_mesh(cfg.batch_size)
     if imdb is None:
         imdb_path = Path(cfg.data_root) / "emovoxceleb-imdb.npz"
         if not imdb_path.exists():

@@ -62,6 +62,25 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def auto_mesh(batch_size: int) -> Optional[Mesh]:
+    """Data mesh sized to avoid per-batch padding bias.
+
+    Uses the largest device count that divides ``batch_size`` (so standard
+    batches shard evenly and only a ragged FINAL batch ever pads, keeping
+    the metric bias bound of one batch per epoch). Returns None on a
+    single device or when no divisor > 1 exists.
+    """
+    n_devices = len(jax.devices())
+    if n_devices <= 1:
+        return None
+    n = 1
+    for cand in range(min(n_devices, batch_size), 1, -1):
+        if batch_size % cand == 0:
+            n = cand
+            break
+    return make_mesh(n) if n > 1 else None
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -168,12 +168,19 @@ def test_visual_extractor_resume_from_partial(tmp_path, tiny_teacher_pipeline):
     ex = VisualFeatureExtractor(model, variables, batch_size=2)
     clean = ex.frame_logits(paths, verbose=False)
 
-    # simulate an interrupted run: checkpoint after every batch, crash at 3
+    # simulate an interrupted run: a valid partial checkpoint (correct
+    # job fingerprint) holding the first 6 rows
     partial = tmp_path / "partial.npz"
-    np.savez(partial, logits=clean[:6], total=len(paths))
+    np.savez(partial, logits=clean[:6], key=ex._job_key(paths))
     resumed = ex.frame_logits(paths, verbose=False, partial_path=str(partial))
     np.testing.assert_allclose(resumed, clean, atol=1e-5)
     assert not partial.exists()  # cleaned up on completion
+
+    # a stale checkpoint (different model/frame list -> different key)
+    # must be ignored, not silently mixed in
+    np.savez(partial, logits=np.full((6, 8), 99.0, np.float32), key="stale")
+    restarted = ex.frame_logits(paths, verbose=False, partial_path=str(partial))
+    np.testing.assert_allclose(restarted, clean, atol=1e-5)
 
 
 def test_visual_extractor_with_mesh(tmp_path, tiny_teacher_pipeline):
