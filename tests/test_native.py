@@ -113,3 +113,32 @@ def test_native_corrupt_jpeg_fails_cleanly(tmp_path):
     # and the process is still healthy: good file decodes afterwards
     out = native.decode_faces([str(good)], out_size=32)
     assert out.shape == (1, 32, 32, 1)
+
+
+@needs_native
+def test_native_concurrent_callers(tmp_path, rng):
+    """The global C++ thread pool must serve concurrent Python callers
+    without races (decode + wav reads hammered from 4 threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    wavs, jpgs = [], []
+    for i in range(6):
+        w = tmp_path / f"w{i}.wav"
+        write_wav(w, rng.randn(12000).astype(np.float32) * 0.3, 16000)
+        wavs.append(str(w))
+        j = tmp_path / f"j{i}.jpg"
+        save_synthetic_frame(j, i % 3, size=40, seed=i)
+        jpgs.append(str(j))
+    expected_wav = native.read_crops(wavs, [0] * 6, 4000)
+    expected_jpg = native.decode_faces(jpgs, out_size=32)
+
+    def hammer(k):
+        for _ in range(10):
+            got_w = native.read_crops(wavs, [0] * 6, 4000, num_threads=4)
+            np.testing.assert_array_equal(got_w, expected_wav)
+            got_j = native.decode_faces(jpgs, out_size=32, num_threads=4)
+            np.testing.assert_array_equal(got_j, expected_jpg)
+        return k
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        assert sorted(pool.map(hammer, range(4))) == [0, 1, 2, 3]
