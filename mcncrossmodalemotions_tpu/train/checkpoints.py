@@ -19,25 +19,43 @@ from typing import Any, Optional, Tuple
 import flax.serialization
 import jax
 
-_CKPT_RE = re.compile(r"net-epoch-(\d+)\.msgpack$")
+_CKPT_RE = re.compile(r"net-epoch-(\d+)(\.msgpack)?$")
 
 
-def checkpoint_path(exp_dir: str | Path, epoch: int) -> Path:
-    return Path(exp_dir) / f"net-epoch-{epoch}.msgpack"
+def checkpoint_path(exp_dir: str | Path, epoch: int,
+                    backend: str = "msgpack") -> Path:
+    suffix = ".msgpack" if backend == "msgpack" else ""
+    return Path(exp_dir) / f"net-epoch-{epoch}{suffix}"
 
 
 def save_checkpoint(exp_dir: str | Path, epoch: int, state: Any,
-                    metrics: Optional[dict] = None) -> Path:
-    """Atomically write epoch checkpoint (tmp + rename) and metrics sidecar."""
+                    metrics: Optional[dict] = None,
+                    backend: str = "msgpack") -> Path:
+    """Atomically write epoch checkpoint (tmp + rename) and metrics sidecar.
+
+    ``backend='msgpack'`` (default) writes one flax-serialised file —
+    right-sized for replicated-DP states. ``backend='orbax'`` writes an
+    Orbax PyTree checkpoint directory — the TPU-production choice for
+    sharded/multi-host states (per-shard files, async-capable).
+    """
     exp_dir = Path(exp_dir)
     exp_dir.mkdir(parents=True, exist_ok=True)
-    path = checkpoint_path(exp_dir, epoch)
-    blob = flax.serialization.to_bytes(jax.device_get(state))
-    tmp = path.with_suffix(".tmp")
-    tmp.write_bytes(blob)
-    os.replace(tmp, path)  # atomic on POSIX
+    path = checkpoint_path(exp_dir, epoch, backend)
+    if backend == "msgpack":
+        blob = flax.serialization.to_bytes(jax.device_get(state))
+        tmp = path.with_suffix(".tmp")
+        tmp.write_bytes(blob)
+        os.replace(tmp, path)  # atomic on POSIX
+    elif backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            # Orbax writes to a tmp dir and renames — atomic by design.
+            ckptr.save(path.resolve(), jax.device_get(state), force=True)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     if metrics is not None:
-        mpath = path.with_suffix(".json")
+        mpath = Path(exp_dir) / f"net-epoch-{epoch}.json"
         mtmp = mpath.with_suffix(".json.tmp")
         mtmp.write_text(json.dumps(metrics, default=float))
         os.replace(mtmp, mpath)
@@ -50,15 +68,27 @@ def list_checkpoints(exp_dir: str | Path) -> list[Tuple[int, Path]]:
         return []
     found = []
     for p in exp_dir.iterdir():
-        m = _CKPT_RE.search(p.name)
-        if m:
+        m = _CKPT_RE.fullmatch(p.name)
+        if m and (p.is_dir() or p.suffix == ".msgpack"):
             found.append((int(m.group(1)), p))
     return sorted(found)
 
 
 def load_checkpoint(path: Path, target: Any) -> Any:
-    """Restore a state pytree from ``path`` into the structure of ``target``."""
-    return flax.serialization.from_bytes(target, Path(path).read_bytes())
+    """Restore a state pytree from ``path`` into the structure of ``target``.
+
+    Backend is inferred: a file is flax msgpack, a directory is Orbax.
+    """
+    path = Path(path)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(path.resolve())
+        import flax.serialization as ser
+
+        return ser.from_state_dict(target, restored)
+    return flax.serialization.from_bytes(target, path.read_bytes())
 
 
 def load_latest(exp_dir: str | Path, target: Any) -> Tuple[int, Any]:
@@ -104,6 +134,11 @@ def find_best_epoch(exp_dir: str | Path, priority_metric: str = "classerror",
     if prune and best_epoch is not None:
         for epoch, path in ckpts:
             if epoch != best_epoch:
-                path.unlink(missing_ok=True)
-                path.with_suffix(".json").unlink(missing_ok=True)
+                if path.is_dir():  # orbax checkpoint directory
+                    import shutil
+
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    path.unlink(missing_ok=True)
+                (path.parent / f"net-epoch-{epoch}.json").unlink(missing_ok=True)
     return best_epoch

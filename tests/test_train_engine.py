@@ -214,3 +214,33 @@ def test_producer_thread_cleanup_on_error(tmp_path):
         trainer.run_epoch(state, exploding_batches(), epoch=1, train=True)
     _time.sleep(1.5)  # give the producer its shutdown window
     assert threading.active_count() <= before + 1
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax checkpoints round-trip and interoperate with list/load/resume."""
+    from mcncrossmodalemotions_tpu.train.state import TrainState
+
+    model = TinyNet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))
+    state = TrainState.create(variables, jax.random.PRNGKey(1))
+    path = ckpt_lib.save_checkpoint(tmp_path, 1, state,
+                                    metrics={"val": {"classerror": 0.3}},
+                                    backend="orbax")
+    assert path.is_dir()
+    assert [e for e, _ in ckpt_lib.list_checkpoints(tmp_path)] == [1]
+
+    blank = TrainState.create(
+        jax.tree.map(jnp.zeros_like, variables), jax.random.PRNGKey(2))
+    restored = ckpt_lib.load_checkpoint(path, blank)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # load_latest resolves the orbax dir too
+    epoch, resumed = ckpt_lib.load_latest(tmp_path, blank)
+    assert epoch == 1
+    # best-epoch pruning removes orbax dirs
+    ckpt_lib.save_checkpoint(tmp_path, 2, state,
+                             metrics={"val": {"classerror": 0.6}},
+                             backend="orbax")
+    assert ckpt_lib.find_best_epoch(tmp_path, prune=True) == 1
+    assert [e for e, _ in ckpt_lib.list_checkpoints(tmp_path)] == [1]
