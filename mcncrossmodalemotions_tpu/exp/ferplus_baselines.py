@@ -59,6 +59,9 @@ class FerPlusConfig:
     out_root: str = "exps"
     tiny_model: bool = False
     dev: bool = False             # opts.dev: 1000 train/val, 1 epoch (:59,112-118)
+    # Released-weights path (ferPlusZoo.m:103-114): a MatConvNet teacher
+    # .mat used as-is — eval runs it directly, training fine-tunes from it.
+    pretrained_mat: Optional[str] = None
 
     def exp_name(self) -> str:
         # Identity fields only (schedule length / paths excluded) so longer
@@ -111,7 +114,15 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
         exp_dir=str(exp_dir),
         resume=resume,
     )
-    model = build_pipeline(cfg)
+    pretrained_vars = None
+    if cfg.pretrained_mat is not None:
+        from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+        model, pretrained_vars = load_pretrained_teacher(
+            cfg.pretrained_mat, with_pipeline=True,
+            input_size=cfg.input_size, augment=cfg.augment)
+    else:
+        model = build_pipeline(cfg)
     loss_fn = teacher_loss_fn(cfg.loss_type, num_classes=cfg.num_classes)
     rngs = []
     if cfg.augment:
@@ -129,17 +140,32 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     example = next(ferplus_batches(imdb, 1, min(cfg.batch_size, 2),
                                    data_type=data_type))
 
+    pretrained_state = None
+    if pretrained_vars is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from mcncrossmodalemotions_tpu.train.state import TrainState
+
+        pretrained_state = TrainState.create(
+            jax.tree.map(jnp.asarray, pretrained_vars),
+            jax.random.PRNGKey(cfg.seed))
+
     if evaluate_only is not None:
         subset = _SUBSET_IDS[evaluate_only]
-        state = trainer.init_state(example)
-        epoch = None
-        if use_best_epoch:
-            epoch = ckpt_lib.find_best_epoch(exp_dir)
-        if epoch is not None:
-            state = ckpt_lib.load_checkpoint(
-                ckpt_lib.checkpoint_path(exp_dir, epoch), state)
+        if pretrained_state is not None:
+            # released model evaluated as-is (ferPlusZoo.m:103-114)
+            state = pretrained_state
         else:
-            _, state = ckpt_lib.load_latest(exp_dir, state)
+            state = trainer.init_state(example)
+            epoch = None
+            if use_best_epoch:
+                epoch = ckpt_lib.find_best_epoch(exp_dir)
+            if epoch is not None:
+                state = ckpt_lib.load_checkpoint(
+                    ckpt_lib.checkpoint_path(exp_dir, epoch), state)
+            else:
+                _, state = ckpt_lib.load_latest(exp_dir, state)
         _, stats = trainer.run_epoch(
             state,
             ferplus_batches(imdb, subset, cfg.batch_size,
@@ -157,6 +183,7 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
                                       augment=cfg.augment),
         val_batches_fn=lambda epoch: ferplus_batches(
             imdb, 2, cfg.batch_size, data_type=data_type),
+        state=pretrained_state,
         example_batch=example,
     )
     return state, history
@@ -167,12 +194,16 @@ def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
                                      ("senet50-ferplus", "distributions")),
                              tiny_model: bool = False,
                              base_cfg: Optional[FerPlusConfig] = None,
-                             cache_dir: Optional[str] = None):
+                             cache_dir: Optional[str] = None,
+                             pretrained_mats: Optional[dict] = None):
     """``benchmark_ferplus_models.m`` equivalent: val+test accuracy table.
 
     Evaluates each (model, loss) pair on FER+ val and test via eval-only
     runs; results cached per model (:40-60). ``base_cfg`` carries the
     training-time options so eval resolves the same experiment dir.
+    ``pretrained_mats`` maps a model name to a released .mat path so the
+    benchmark runs the released weights directly (the reference's
+    download-on-miss path, ferPlusZoo.m:103-114).
     """
     results = {}
     for model_name, loss_type in models:
@@ -180,13 +211,16 @@ def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
         if cache and cache.exists():
             results[model_name] = json.loads(cache.read_text())
             continue
+        mat = (pretrained_mats or {}).get(model_name)
         if base_cfg is not None:
             cfg = dataclasses.replace(base_cfg, model=model_name,
                                       loss_type=loss_type, out_root=out_root,
-                                      tiny_model=tiny_model)
+                                      tiny_model=tiny_model,
+                                      pretrained_mat=mat)
         else:
             cfg = FerPlusConfig(model=model_name, loss_type=loss_type,
-                                out_root=out_root, tiny_model=tiny_model)
+                                out_root=out_root, tiny_model=tiny_model,
+                                pretrained_mat=mat)
         row = {}
         for subset in ("val", "test"):
             _, stats = ferplus_baselines(cfg, imdb, evaluate_only=subset)

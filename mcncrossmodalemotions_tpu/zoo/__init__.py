@@ -11,6 +11,7 @@ from mcncrossmodalemotions_tpu.zoo.registry import (
     build_student,
     build_teacher,
     load_pretrained_student,
+    load_pretrained_teacher,
     student_loss_fn,
     teacher_loss_fn,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "build_student",
     "build_teacher",
     "load_pretrained_student",
+    "load_pretrained_teacher",
     "student_loss_fn",
     "teacher_loss_fn",
 ]

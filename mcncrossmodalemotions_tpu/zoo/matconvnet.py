@@ -79,16 +79,20 @@ def load_mat_meta(path: str | Path) -> dict:
     return meta
 
 
-def conv_kernel(raw: np.ndarray, squeeze_axis: int = 2) -> np.ndarray:
+def conv_kernel(raw: np.ndarray, squeeze_axis: int = 2,
+                hw: tuple | None = None) -> np.ndarray:
     """HWCN filter -> Flax kernel (same layout, dtype-normalised).
 
     MATLAB squeezes singleton dims on save/load, so a 3-D filter is
     missing one axis; ``squeeze_axis`` names which one to restore
     (2 = single input channel, the common case; 1 = unit-width kernels
-    like VGG-M's 9x1 fc6).
+    like VGG-M's 9x1 fc6). A fully squeezed 1x1 conv arrives 2-D
+    [Cin, Cout]; pass ``hw=(1, 1)`` to restore the spatial axes.
     """
     raw = np.asarray(raw, np.float32)
-    if raw.ndim == 2:  # fc stored as matrix [Cin, Cout]
+    if raw.ndim == 2:  # fc / 1x1 conv stored as matrix [Cin, Cout]
+        if hw is not None:
+            return raw.reshape(*hw, *raw.shape)
         return raw
     if raw.ndim == 3:
         return np.expand_dims(raw, squeeze_axis)
@@ -116,6 +120,26 @@ def bn_variables(gamma: np.ndarray, beta: np.ndarray,
     return {"scale": gamma, "bias": beta, "mean": mean, "var": var}
 
 
+def _resolve(params: Dict[str, np.ndarray], names, *,
+             required: bool = True, context: str = "") -> str | None:
+    """First param name present among ``names`` (str or tuple of candidates).
+
+    Released MatConvNet models are inconsistent about param naming —
+    ferPlusZoo.m:169-186 itself probes ``<layer>f`` / ``<layer>_filter`` /
+    ``<layer>_f`` (and the bias equivalents) in turn; layer maps list the
+    same candidates and this picks whichever the release actually uses.
+    """
+    if isinstance(names, str):
+        names = (names,)
+    for name in names:
+        if name in params:
+            return name
+    if required:
+        raise KeyError(f"none of {list(names)} found in .mat params"
+                       f"{' for ' + context if context else ''}")
+    return None
+
+
 def import_variables(params: Dict[str, np.ndarray],
                      layer_map: Dict[str, dict]) -> dict:
     """Build a Flax variables tree from flat params + a layer mapping.
@@ -125,6 +149,8 @@ def import_variables(params: Dict[str, np.ndarray],
       {"kind": "conv"|"dense"|"bn",
        "filters"/"bias": param names, or for bn:
        "gamma"/"beta"/"moments": param names}.
+    Each name may be a single string or a tuple of candidate names
+    (first present wins — see ``_resolve``).
     Returns {"params": ..., "batch_stats": ...} nested by path.
     """
     tree: dict = {"params": {}, "batch_stats": {}}
@@ -138,20 +164,22 @@ def import_variables(params: Dict[str, np.ndarray],
 
     for path, spec in layer_map.items():
         kind = spec["kind"]
-        if kind == "conv":
-            leaf = {"kernel": conv_kernel(params[spec["filters"]],
-                                          spec.get("squeeze_axis", 2))}
-            if "bias" in spec and spec["bias"] in params:
-                leaf["bias"] = np.asarray(params[spec["bias"]], np.float32).reshape(-1)
-            insert(tree["params"], path, leaf)
-        elif kind == "dense":
-            leaf = {"kernel": dense_kernel(params[spec["filters"]])}
-            if "bias" in spec and spec["bias"] in params:
-                leaf["bias"] = np.asarray(params[spec["bias"]], np.float32).reshape(-1)
+        if kind in ("conv", "dense"):
+            fname = _resolve(params, spec["filters"], context=path)
+            if kind == "conv":
+                leaf = {"kernel": conv_kernel(params[fname],
+                                              spec.get("squeeze_axis", 2),
+                                              hw=spec.get("hw"))}
+            else:
+                leaf = {"kernel": dense_kernel(params[fname])}
+            bname = _resolve(params, spec.get("bias", ()), required=False)
+            if bname is not None:
+                leaf["bias"] = np.asarray(params[bname], np.float32).reshape(-1)
             insert(tree["params"], path, leaf)
         elif kind == "bn":
-            bn = bn_variables(params[spec["gamma"]], params[spec["beta"]],
-                              params[spec["moments"]],
+            bn = bn_variables(params[_resolve(params, spec["gamma"], context=path)],
+                              params[_resolve(params, spec["beta"], context=path)],
+                              params[_resolve(params, spec["moments"], context=path)],
                               spec.get("epsilon", BN_EPSILON))
             insert(tree["params"], path, {"scale": bn["scale"], "bias": bn["bias"]})
             insert(tree["batch_stats"], path, {"mean": bn["mean"], "var": bn["var"]})
@@ -187,3 +215,125 @@ def import_vggm_student(mat_path: str | Path) -> dict:
     """Released emovoxceleb-student .mat -> VGGMStudent variables."""
     params = load_mat_params(mat_path)
     return import_variables(params, vggm_layer_map())
+
+
+# ---------------------------------------------------------------------------
+# Teacher (ResNet50 / SENet50) releases.
+#
+# The resnet50-ferplus / senet50-ferplus releases descend from the VGGFace2
+# MatConvNet models (ferPlusZoo.m:37-92 registry; pretrained path
+# ferPlusZoo.m:103-114), whose layers follow the Caffe-import naming:
+#   conv1/7x7_s2, conv{s}_{b}_1x1_reduce / _3x3 / _1x1_increase,
+#   conv{s}_{b}_1x1_proj (downsample), SE pairs conv{s}_{b}_1x1_down/_up,
+#   classifier (1x1 conv head; after ferPlusZoo surgery its params are
+#   re-initialised but keep the layer-derived names, ferPlusZoo.m:162-189).
+# Param names derive from layer names with release-dependent suffixes;
+# every spec lists the candidate suffix set (see ``_resolve``).
+# ---------------------------------------------------------------------------
+
+
+def _conv_spec(layer: str, **extra) -> dict:
+    return {"kind": "conv",
+            "filters": (f"{layer}_filter", f"{layer}f", f"{layer}_f",
+                        f"{layer}_weight"),
+            "bias": (f"{layer}_bias", f"{layer}b", f"{layer}_b"),
+            **extra}
+
+
+def _dense_spec(layer: str) -> dict:
+    return {"kind": "dense",
+            "filters": (f"{layer}_filter", f"{layer}f", f"{layer}_f",
+                        f"{layer}_weight"),
+            "bias": (f"{layer}_bias", f"{layer}b", f"{layer}_b")}
+
+
+def _bn_spec(layer: str) -> dict:
+    return {"kind": "bn",
+            "gamma": (f"{layer}_mult", f"{layer}_gamma", f"{layer}_scale",
+                      f"{layer}f", f"{layer}_filter"),
+            "beta": (f"{layer}_bias", f"{layer}b", f"{layer}_b"),
+            "moments": (f"{layer}_moments", f"{layer}m", f"{layer}_m")}
+
+
+def resnet50_layer_map(stage_sizes=(3, 4, 6, 3), *, use_se: bool = False,
+                       head_name: str = "classifier",
+                       prefix: str = "") -> Dict[str, dict]:
+    """Flax-path -> .mat-param mapping for ResNet50/SENet50 teachers.
+
+    Matches ``models.resnet.ResNet``'s module tree (layer{s}_{b} blocks
+    with conv1/bn1..conv3/bn3, downsample/bn_down on block 0, se/fc{1,2})
+    against the VGGFace2 Caffe-import layer naming described above.
+    ``stage_sizes`` supports the tiny test configs.
+    """
+    m: Dict[str, dict] = {
+        f"{prefix}conv1": _conv_spec("conv1_7x7_s2"),
+        f"{prefix}bn1": _bn_spec("conv1_7x7_s2_bn"),
+    }
+    for s, num_blocks in enumerate(stage_sizes, start=1):
+        for b in range(num_blocks):
+            mat = f"conv{s + 1}_{b + 1}"
+            fl = f"{prefix}layer{s}_{b}"
+            m[f"{fl}/conv1"] = _conv_spec(f"{mat}_1x1_reduce", hw=(1, 1))
+            m[f"{fl}/bn1"] = _bn_spec(f"{mat}_1x1_reduce_bn")
+            m[f"{fl}/conv2"] = _conv_spec(f"{mat}_3x3")
+            m[f"{fl}/bn2"] = _bn_spec(f"{mat}_3x3_bn")
+            m[f"{fl}/conv3"] = _conv_spec(f"{mat}_1x1_increase", hw=(1, 1))
+            m[f"{fl}/bn3"] = _bn_spec(f"{mat}_1x1_increase_bn")
+            if b == 0:  # projection shortcut on the first block of a stage
+                m[f"{fl}/downsample"] = _conv_spec(f"{mat}_1x1_proj",
+                                                   hw=(1, 1))
+                m[f"{fl}/bn_down"] = _bn_spec(f"{mat}_1x1_proj_bn")
+            if use_se:  # SE 1x1 convs -> Dense squeeze/excite pair
+                m[f"{fl}/se/fc1"] = _dense_spec(f"{mat}_1x1_down")
+                m[f"{fl}/se/fc2"] = _dense_spec(f"{mat}_1x1_up")
+    m[f"{prefix}prediction"] = _dense_spec(head_name)
+    return m
+
+
+def senet50_layer_map(stage_sizes=(3, 4, 6, 3), **kw) -> Dict[str, dict]:
+    """senet50-ferplus mapping (SE-ResNet-50)."""
+    return resnet50_layer_map(stage_sizes, use_se=True, **kw)
+
+
+def infer_teacher_arch(params: Dict[str, np.ndarray],
+                       head_name: str = "classifier") -> dict:
+    """Architecture hyperparams implied by a teacher .mat's param names.
+
+    Returns {stage_sizes, use_se, width, num_outputs} so
+    ``load_pretrained_teacher`` can build the matching ``ResNet`` without
+    the caller hand-specifying dims (the reference reads them from the
+    DagNN graph itself, ferPlusZoo.m:136-160).
+    """
+    use_se = any("_1x1_down" in name for name in params)
+    stage_sizes = []
+    s = 1
+    while True:
+        b = 0
+        while _resolve(params, _conv_spec(f"conv{s + 1}_{b + 1}_1x1_reduce")
+                       ["filters"], required=False) is not None:
+            b += 1
+        if b == 0:
+            break
+        stage_sizes.append(b)
+        s += 1
+    if not stage_sizes:
+        raise ValueError("no conv{s}_{b}_1x1_reduce params found — "
+                         "not a ResNet50/SENet50-style release")
+    conv1 = params[_resolve(params, _conv_spec("conv1_7x7_s2")["filters"],
+                            context="conv1")]
+    width = int(np.atleast_3d(conv1).shape[-1])
+    head = params[_resolve(params, _dense_spec(head_name)["filters"],
+                           context=head_name)]
+    num_outputs = int(np.asarray(head).shape[-1])
+    return {"stage_sizes": tuple(stage_sizes), "use_se": use_se,
+            "width": width, "num_outputs": num_outputs}
+
+
+def import_teacher(mat_path: str | Path,
+                   head_name: str = "classifier") -> tuple:
+    """Released teacher .mat -> (arch dict, ResNet variables tree)."""
+    params = load_mat_params(mat_path)
+    arch = infer_teacher_arch(params, head_name)
+    layer_map = resnet50_layer_map(arch["stage_sizes"], use_se=arch["use_se"],
+                                   head_name=head_name)
+    return arch, import_variables(params, layer_map)

@@ -92,6 +92,67 @@ def load_pretrained_student(mat_path, *, with_frontend: bool = True,
     return model, variables
 
 
+def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
+                            input_size: int = 224, augment: bool = False):
+    """Load a released MatConvNet teacher .mat into the Flax ResNet/SENet.
+
+    The pretrained path of ferPlusZoo (ferPlusZoo.m:103-114: "pretrained
+    ferplus models returned as-is" — no surgery, losses attachable on
+    top). Architecture (stage sizes, SE blocks, width, head dims) is
+    inferred from the param names/shapes. Returns (model, variables);
+    with ``with_pipeline`` the model is a ``FaceTeacherPipeline`` whose
+    ``mean_rgb`` comes from the release's ``normalization.averageImage``
+    when present (fetch_emovoxceleb_imdb.m:186-193), with variables
+    nested under the 'teacher' submodule.
+    """
+    import numpy as np
+
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (import_teacher,
+                                                          load_mat_meta)
+
+    arch, variables = import_teacher(mat_path)
+    # ResNet convs are bias-free (BN follows); fold any released conv bias
+    # into the BN running mean (mean' = mean - bias keeps (z-mu)/sigma
+    # identical) — same invariance as load_pretrained_student.
+    def fold(node_params, node_stats, conv_name, bn_name):
+        conv = node_params.get(conv_name)
+        if conv is None:
+            return
+        bias = conv.pop("bias", None)
+        if bias is not None and bn_name in node_stats:
+            stats = node_stats[bn_name]
+            stats["mean"] = np.asarray(stats["mean"]) - np.asarray(bias)
+
+    fold(variables["params"], variables["batch_stats"], "conv1", "bn1")
+    for s, num_blocks in enumerate(arch["stage_sizes"], start=1):
+        for b in range(num_blocks):
+            block = f"layer{s}_{b}"
+            bp = variables["params"].get(block, {})
+            bs = variables["batch_stats"].get(block, {})
+            for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
+                                       ("conv3", "bn3"),
+                                       ("downsample", "bn_down")):
+                fold(bp, bs, conv_name, bn_name)
+
+    model = ResNet(stage_sizes=arch["stage_sizes"], use_se=arch["use_se"],
+                   width=arch["width"], num_outputs=arch["num_outputs"])
+    if with_pipeline:
+        from mcncrossmodalemotions_tpu.models.teacher_pipeline import (
+            FaceTeacherPipeline)
+
+        meta = load_mat_meta(mat_path)
+        avg = meta.get("averageImage")
+        kw = {}
+        if avg is not None:
+            kw["mean_rgb"] = tuple(float(v) for v in
+                                   np.asarray(avg).reshape(-1)[:3])
+        model = FaceTeacherPipeline(teacher=model, input_size=input_size,
+                                    augment=augment, **kw)
+        variables = {"params": {"teacher": variables["params"]},
+                     "batch_stats": {"teacher": variables["batch_stats"]}}
+    return model, variables
+
+
 def build_teacher(name: str = "senet50-ferplus", *,
                   num_outputs: int = 8,
                   tiny: bool = False) -> ResNet:

@@ -170,3 +170,176 @@ def test_pretrained_bias_folded_into_bn_mean(tmp_path):
     ref = model.apply(variables, x)
     got = loaded_model.apply(loaded_vars, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Teacher (ResNet50/SENet50) import — the ferPlusZoo.m:103-114 pretrained
+# path. Released files are unfetchable here; fidelity is a synthetic
+# round-trip like the student's: export a Flax teacher into the VGGFace2
+# Caffe-import naming, re-import, demand identical logits.
+# ---------------------------------------------------------------------------
+
+
+def _first(names):
+    return names if isinstance(names, str) else names[0]
+
+
+def _export_via_map(variables, layer_map):
+    """Invert import_variables: Flax tree -> {mat param name: value}."""
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import BN_EPSILON
+
+    def get(root, path):
+        node = root
+        for part in path.split("/"):
+            node = node[part]
+        return node
+
+    out = {}
+    for path, spec in layer_map.items():
+        if spec["kind"] in ("conv", "dense"):
+            node = get(variables["params"], path)
+            kernel = np.asarray(node["kernel"])
+            if spec["kind"] == "dense":
+                kernel = kernel[None, None]  # Dense -> 1x1 conv storage
+            out[_first(spec["filters"])] = kernel
+            if "bias" in node:
+                out[_first(spec["bias"])] = np.asarray(node["bias"])
+        else:
+            p = get(variables["params"], path)
+            s = get(variables["batch_stats"], path)
+            out[_first(spec["gamma"])] = np.asarray(p["scale"])
+            out[_first(spec["beta"])] = np.asarray(p["bias"])
+            sigma = np.sqrt(np.asarray(s["var"]) + BN_EPSILON)
+            out[_first(spec["moments"])] = np.stack(
+                [np.asarray(s["mean"]), sigma], axis=1)
+    return out
+
+
+def _tiny_teacher_release(use_se, rng):
+    """(model, variables, x, mat param dict) for a tiny teacher."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.resnet import ResNet
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import resnet50_layer_map
+
+    model = ResNet(stage_sizes=(1, 1), width=8, use_se=use_se, num_outputs=8)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32) * 20.0)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0), x))
+    # randomise BN stats so the moments import is non-trivial
+    variables["batch_stats"] = jax.tree.map(
+        lambda a: (np.abs(rng.randn(*np.shape(a))) + 0.5).astype(np.float32),
+        variables["batch_stats"])
+    lmap = resnet50_layer_map((1, 1), use_se=use_se)
+    return model, variables, x, _export_via_map(variables, lmap)
+
+
+@pytest.mark.parametrize("use_se", [False, True])
+def test_teacher_mat_roundtrip_forward_parity(tmp_path, use_se):
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+    rng = np.random.RandomState(4)
+    model, variables, x, mat = _tiny_teacher_release(use_se, rng)
+    mat_path = tmp_path / "teacher.mat"
+    _save_dagnn_mat(mat_path, mat)
+
+    loaded_model, loaded_vars = load_pretrained_teacher(mat_path)
+    # architecture inferred from param names/shapes alone
+    assert loaded_model.stage_sizes == (1, 1)
+    assert loaded_model.use_se == use_se
+    assert loaded_model.width == 8
+    assert loaded_model.num_outputs == 8
+
+    ref = model.apply(jax.tree.map(jnp.asarray, variables), x)
+    got = loaded_model.apply(jax.tree.map(jnp.asarray, loaded_vars), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_teacher_conv_bias_folded_into_bn_mean(tmp_path):
+    """A released conv bias must fold into the following BN's running mean
+    (ResNet convs here are bias-free), preserving logits exactly."""
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+    rng = np.random.RandomState(5)
+    model, variables, x, mat = _tiny_teacher_release(False, rng)
+    bias = rng.randn(8).astype(np.float32)
+    mat["conv1_7x7_s2_bias"] = bias
+    moments = mat["conv1_7x7_s2_bn_moments"].copy()
+    moments[:, 0] += bias  # biased release whose net function is unchanged
+    mat["conv1_7x7_s2_bn_moments"] = moments
+    mat_path = tmp_path / "biased_teacher.mat"
+    _save_dagnn_mat(mat_path, mat)
+
+    loaded_model, loaded_vars = load_pretrained_teacher(mat_path)
+    ref = model.apply(jax.tree.map(jnp.asarray, variables), x)
+    got = loaded_model.apply(jax.tree.map(jnp.asarray, loaded_vars), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_teacher_param_name_variants(tmp_path):
+    """ferPlusZoo.m:169-186 probes <name>f / <name>_filter / <name>_f —
+    the importer must accept the alternates a given release uses."""
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+    rng = np.random.RandomState(6)
+    model, variables, x, mat = _tiny_teacher_release(False, rng)
+    renames = {
+        "conv1_7x7_s2_filter": "conv1_7x7_s2f",          # <name>f
+        "conv2_1_3x3_filter": "conv2_1_3x3_f",           # <name>_f
+        "conv1_7x7_s2_bn_mult": "conv1_7x7_s2_bn_gamma",  # bn gamma variant
+        "conv1_7x7_s2_bn_moments": "conv1_7x7_s2_bnm",
+        "classifier_filter": "classifierf",
+        "classifier_bias": "classifierb",
+    }
+    # (bn moments candidate list covers <bn>m via the '<layer>m' suffix)
+    renames["conv1_7x7_s2_bn_moments"] = "conv1_7x7_s2_bnm"
+    mat2 = {renames.get(k, k): v for k, v in mat.items()}
+    mat_path = tmp_path / "variant.mat"
+    _save_dagnn_mat(mat_path, mat2)
+
+    loaded_model, loaded_vars = load_pretrained_teacher(mat_path)
+    ref = model.apply(jax.tree.map(jnp.asarray, variables), x)
+    got = loaded_model.apply(jax.tree.map(jnp.asarray, loaded_vars), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_teacher_pipeline_load_and_eval_driver(tmp_path):
+    """Released teacher .mat -> FaceTeacherPipeline (mean from the
+    release's averageImage) -> ferplus_baselines eval-only run."""
+    import scipy.io
+
+    from mcncrossmodalemotions_tpu.data.ferplus import build_synthetic_ferplus
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+    )
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+    rng = np.random.RandomState(7)
+    _, _, _, mat = _tiny_teacher_release(True, rng)
+    dtype = [("name", object), ("value", object)]
+    arr = np.zeros((len(mat),), dtype=dtype)
+    for i, (name, value) in enumerate(mat.items()):
+        arr[i] = (name, value)
+    mat_path = tmp_path / "release.mat"
+    scipy.io.savemat(mat_path, {"net": {
+        "params": arr,
+        "meta": {"normalization": {
+            "averageImage": np.array([131.0912, 103.8827, 91.4953],
+                                     np.float32)}},
+    }})
+
+    pipeline, variables = load_pretrained_teacher(mat_path,
+                                                  with_pipeline=True,
+                                                  input_size=48)
+    assert "teacher" in variables["params"]
+    np.testing.assert_allclose(pipeline.mean_rgb, (131.0912, 103.8827, 91.4953),
+                               rtol=1e-5)
+
+    imdb = build_synthetic_ferplus(24)
+    cfg = FerPlusConfig(batch_size=8, input_size=48, dev=True,
+                        out_root=str(tmp_path / "exps"),
+                        pretrained_mat=str(mat_path))
+    _, stats = ferplus_baselines(cfg, imdb, evaluate_only="val", mesh=None,
+                                 resume=False)
+    assert np.isfinite(stats["loss"])
+    assert 0.0 <= stats["accuracy"] <= 1.0
