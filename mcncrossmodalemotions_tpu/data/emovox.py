@@ -143,7 +143,9 @@ def make_targets(logit_window: np.ndarray, cfg: BatchConfig) -> Dict[str, np.nda
     out = {"max_label": np.int32(max_label)}
     if cfg.loss_type in ("hot-cross-ent", "euclidean", "huber"):
         out["logit_target"] = logits
-    if cfg.loss_type == "euclidean":
+    if cfg.loss_type in ("euclidean", "huber"):
+        # emoVoxZoo.m:138-148: both regression stacks take instanceWeights
+        # (the reference feeds all-ones, "no re-weighting required")
         out["instance_weights"] = np.ones_like(logits)
     return out
 
@@ -236,36 +238,54 @@ class EmoVoxBatcher:
 
     def _native_batch(self, chunk, rng, wav_root: Path) -> Dict[str, np.ndarray]:
         """Threaded C++ fast path: batched segment reads (no host resample
-        needed when speed/noise augmentation are off)."""
+        needed when speed/noise augmentation are off).
+
+        Files whose native rate differs from the target are read
+        individually through the python path (host resample) while the
+        rest of the batch stays on the fast path — one 44.1 kHz stray
+        must not poison the whole batch. Both paths draw exactly one RNG
+        value per sample (the crop start), so the train RNG stream stays
+        aligned regardless of the mix.
+        """
         from mcncrossmodalemotions_tpu.data import native as native_ds
 
         cfg = self.cfg
         fs = cfg.spec.sample_rate
         need = cfg.crop_samples
-        paths, starts, targets = [], [], []
-        for j in chunk:
+        rows: list = [None] * len(chunk)
+        t0s = [0.0] * len(chunk)
+        fast_paths, fast_starts, fast_positions = [], [], []
+        targets = []
+        for pos, j in enumerate(chunk):
             path = str(wav_root / self.imdb.wav_paths[j])
             num_samples, native_fs, _, _ = native_ds.wav_info(path)
-            if native_fs != fs:
-                # fast path is 1:1 sample reads; fall back for this batch
-                return self._python_batch(chunk, rng, wav_root)
-            total = min(num_samples, int(MAX_CLIP_SECONDS * fs))
-            max_start = max(total - need, 0)
-            start = int(rng.randint(0, max_start + 1)) if (
-                rng is not None and max_start > 0) else 0
-            paths.append(path)
-            starts.append(start)
-            t0 = start / fs
+            if native_fs == fs:
+                total = min(num_samples, int(MAX_CLIP_SECONDS * fs))
+                max_start = max(total - need, 0)
+                start = int(rng.randint(0, max_start + 1)) if (
+                    rng is not None and max_start > 0) else 0
+                fast_paths.append(path)
+                fast_starts.append(start)
+                fast_positions.append(pos)
+                t0 = start / fs
+            else:
+                # off-rate file: per-file python fallback (resample)
+                samples, t0, _ = load_crop(path, cfg, rng=rng)
+                rows[pos] = samples
+            t0s[pos] = t0
             window = aggregate_logits(
                 self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
                 cfg.logit_aggregator)
             targets.append(make_targets(window, cfg))
-        batch = {"data": self._pack_waves(native_ds.read_crops(paths, starts, need))}
+        if fast_paths:
+            fast = native_ds.read_crops(fast_paths, fast_starts, need)
+            for k, pos in enumerate(fast_positions):
+                rows[pos] = fast[k]
+        batch = {"data": self._pack_waves(np.stack(rows))}
         for key in targets[0]:
             batch[key] = np.stack([t[key] for t in targets])
         if cfg.frames_per_crop > 0:
-            batch["frames"] = self._crop_frames(
-                chunk, [s / fs for s in starts])
+            batch["frames"] = self._crop_frames(chunk, t0s)
         return batch
 
     def _crop_frames(self, chunk, crop_starts) -> np.ndarray:

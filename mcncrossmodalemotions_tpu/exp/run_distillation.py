@@ -92,6 +92,21 @@ class DistillationConfig:
         return f"{base}{suffix}-{config_hash(identity)}"
 
 
+def mini_epoch_size(num_tracks: int, ratio: float, num_devices: int,
+                    batch_size: int):
+    """epochSize from miniEpochRatio (run_distillation.m:77,154).
+
+    The reference default scales the ratio by the data-parallel width
+    (``0.05 * numel(opts.gpus)``) so each device sees the same number of
+    batches per epoch regardless of mesh size. Returns None (= full
+    epoch) once the scaled ratio reaches 1.
+    """
+    scaled = ratio * num_devices
+    if scaled >= 1:
+        return None
+    return max(int(round(num_tracks * scaled)), batch_size)
+
+
 def split_imdb(imdb: EmoVoxImdb, mini_val: float, seed: int = 0):
     """Train/val split from set ids, with mini-val subsampling (:137-146).
 
@@ -145,9 +160,11 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
     )
     train_batcher = EmoVoxBatcher(train_imdb, bcfg, train=True, seed=cfg.seed)
     val_batcher = EmoVoxBatcher(val_imdb, bcfg, train=False, seed=cfg.seed)
-    epoch_size = max(
-        int(round(train_imdb.num_tracks * cfg.mini_epoch_ratio)), cfg.batch_size
-    ) if cfg.mini_epoch_ratio < 1 else None
+    num_devices = (int(np.prod(mesh.devices.shape)) if mesh is not None
+                   else 1)
+    epoch_size = mini_epoch_size(train_imdb.num_tracks,
+                                 cfg.mini_epoch_ratio, num_devices,
+                                 cfg.batch_size)
 
     exp_dir = Path(cfg.out_root) / cfg.exp_name()
     tcfg = TrainConfig(
@@ -166,6 +183,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         dropout=cfg.dropout,
         tiny=cfg.tiny_model,
         use_pallas_frontend=cfg.use_pallas_frontend,
+        loss_type=cfg.loss_type,  # euclidean: head /10 (emoVoxZoo.m:140-144)
     )
     loss_fn = student_loss_fn(cfg.loss_type, temperature=cfg.temperature,
                               num_classes=cfg.num_pred_emotions)

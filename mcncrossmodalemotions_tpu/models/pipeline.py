@@ -37,6 +37,7 @@ class AudioStudentPipeline(nn.Module):
     use_pallas_frontend: bool = False
     fc6_features: int = 4096
     fc7_features: int = 1024
+    head_init_scale: float = 1e-4  # emoVoxZoo.m:210-243 scratch init
 
     def setup(self):
         # Constructed here (never passed in) so the submodule is always
@@ -47,6 +48,7 @@ class AudioStudentPipeline(nn.Module):
             dropout_rate=self.dropout_rate,
             fc6_features=self.fc6_features,
             fc7_features=self.fc7_features,
+            head_init_scale=self.head_init_scale,
         )
 
     def frontend(self, x: jax.Array, valid_frames=None) -> jax.Array:

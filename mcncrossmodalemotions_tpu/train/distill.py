@@ -72,6 +72,8 @@ def make_online_distill_step(student_apply: Callable,
             "max_label": jnp.argmax(target, axis=-1),
             "instance_weights": jnp.ones_like(target),
         }
+        if "pad_mask" in batch:  # exclude mesh-padding rows exactly
+            inner_batch["pad_mask"] = batch["pad_mask"]
 
         rng, step_rng = jax.random.split(state.rng)
         apply_kwargs = {}

@@ -175,18 +175,30 @@ class Trainer:
 
     # -- device feed -------------------------------------------------------
     def _to_device(self, batch):
-        """Pad (ragged mesh batches) + start the async host->device copy."""
+        """Pad (ragged mesh batches) + start the async host->device copy.
+
+        Every batch carries a [B] float 'pad_mask' (1 = real sample,
+        0 = mesh-padding duplicate) so the loss/metric stack can exclude
+        padded rows EXACTLY (losses._wmean / per_class_stats), and the
+        returned count is the VALID sample count. The mask is attached
+        unconditionally to keep one jit signature for full and ragged
+        batches. (Padded rows still enter BN batch stats — bounded by
+        <= num_devices-1 duplicated rows on one batch per epoch.)
+        """
         bsz = int(np.shape(batch["data"])[0])
+        n_valid = bsz
         if self._num_devices > 1 and bsz % self._num_devices != 0:
             # Ragged final batch under a mesh: pad by repeating the last
-            # row so the batch dim shards evenly. The <=N-1 duplicated
-            # samples are counted in the epoch metrics (bias bounded by
-            # num_devices-1 samples per epoch).
+            # row so the batch dim shards evenly.
             from mcncrossmodalemotions_tpu.parallel.mesh import pad_to_multiple
 
-            batch, _ = pad_to_multiple(batch, self._num_devices)
+            batch, n_valid = pad_to_multiple(batch, self._num_devices)
             bsz = int(np.shape(batch["data"])[0])
-        return bsz, self._shard_batch(
+        if "pad_mask" not in batch:
+            mask = np.zeros(bsz, np.float32)
+            mask[:n_valid] = 1.0
+            batch = dict(batch, pad_mask=mask)
+        return n_valid, self._shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()}
         )
 

@@ -5,7 +5,7 @@ S-dimensional pooled model logits to T target emotion classes via the
 Statistics toolbox IRLS solver (run_cross_val.m:142, emo_benchmarks.m:94).
 Here: deterministic full-Newton IRLS in JAX (double precision on CPU
 via numpy for the tiny solve — the problem is S<=8 features, so the
-normal equations are a few hundred floats; no TPU需要).
+normal equations are a few hundred floats; no TPU involvement needed).
 
 Parameterisation matches MATLAB ``mnrfit`` (nominal): T-1 sets of
 coefficients with the LAST class as reference,

@@ -29,16 +29,22 @@ def build_student(name: str = "emovoxceleb-student", *,
                   spec: SpecConfig = DEFAULT_SPEC,
                   with_frontend: bool = True,
                   use_pallas_frontend: bool = False,
+                  loss_type: str | None = None,
                   tiny: bool = False):
     """Student zoo (emoVoxZoo.m:25-31 names; scratch init path :202-243).
 
     ``with_frontend=True`` returns the waveform->logits pipeline module;
     False returns the bare spectrogram-input VGG-M. ``tiny`` builds a
     width-reduced variant for tests/dev (the opts.dev pattern).
+    ``loss_type`` mirrors the zoo's loss-specific surgery: for
+    'euclidean' the head params are scaled down a further 10x "to
+    prevent exploding gradients" (emoVoxZoo.m:140-144).
     """
     if name not in STUDENT_MODELS:
         raise KeyError(f"unknown student {name!r}; known: {STUDENT_MODELS}")
     kw = dict(num_outputs=num_outputs)
+    if loss_type == "euclidean":
+        kw["head_init_scale"] = 1e-4 / 10.0
     if tiny:
         kw.update(fc6_features=64, fc7_features=32)
     if with_frontend:
@@ -179,20 +185,26 @@ def student_loss_fn(loss_type: str = "hot-cross-ent", *,
 
     def loss_fn(logits, batch):
         labels = batch["max_label"]
+        w = batch.get("pad_mask")  # 0 on mesh-padding rows (train/engine.py)
         if loss_type == "hot-cross-ent":
-            loss = distillation_ce(logits, batch["logit_target"], temperature)
+            loss = distillation_ce(logits, batch["logit_target"], temperature,
+                                   sample_weight=w)
         elif loss_type == "euclidean":
             loss = euclidean_loss(logits, batch["logit_target"],
-                                  batch.get("instance_weights"))
+                                  batch.get("instance_weights"),
+                                  sample_weight=w)
         elif loss_type == "huber":
-            loss = huber_loss(logits, batch["logit_target"], sigma=1.0)
+            loss = huber_loss(logits, batch["logit_target"], sigma=1.0,
+                              instance_weights=batch.get("instance_weights"),
+                              sample_weight=w)
         elif loss_type == "softmaxlog":
-            loss = softmax_ce(logits, labels)
+            loss = softmax_ce(logits, labels, sample_weight=w)
         else:
             raise ValueError(f"unknown loss_type {loss_type!r}")
-        correct, pop = per_class_stats(logits, labels, num_classes)
+        correct, pop = per_class_stats(logits, labels, num_classes,
+                                       sample_weight=w)
         metrics = {
-            "classerror": class_error(logits, labels),
+            "classerror": class_error(logits, labels, sample_weight=w),
             "class_correct": correct,
             "class_pop": pop,
         }
@@ -208,15 +220,18 @@ def teacher_loss_fn(loss_type: str = "distributions",
 
     def loss_fn(logits, batch):
         hard = batch["hard_label"]
+        w = batch.get("pad_mask")  # 0 on mesh-padding rows (train/engine.py)
         if loss_type == "distributions":
-            loss = distribution_ce(logits, batch["label_dist"])
+            loss = distribution_ce(logits, batch["label_dist"],
+                                   sample_weight=w)
         elif loss_type == "softmaxlog":
-            loss = softmax_ce(logits, hard)
+            loss = softmax_ce(logits, hard, sample_weight=w)
         else:
             raise ValueError(f"unknown loss_type {loss_type!r}")
-        correct, pop = per_class_stats(logits, hard, num_classes)
+        correct, pop = per_class_stats(logits, hard, num_classes,
+                                       sample_weight=w)
         metrics = {
-            "classerror": class_error(logits, hard),
+            "classerror": class_error(logits, hard, sample_weight=w),
             "class_correct": correct,
             "class_pop": pop,
         }

@@ -108,3 +108,18 @@ def test_eta_and_metrics_logger(tmp_path, capsys):
     records = log.read()
     assert [r["epoch"] for r in records] == [1, 2]
     assert records[1]["loss"] == 0.25
+
+
+def test_mnrfit_matches_sklearn_golden():
+    """Committed fixture from scikit-learn's unpenalised multinomial
+    logistic regression (tests/fixtures/generate_goldens.py): the IRLS
+    mnrfit must reach the same MLE — predicted class probabilities agree
+    to solver tolerance (parameterisations differ; probabilities do not)."""
+    from pathlib import Path
+
+    from mcncrossmodalemotions_tpu.utils.mnr import mnrfit, mnrval
+
+    fx = np.load(Path(__file__).parent / "fixtures" / "mnr_golden.npz")
+    params = mnrfit(fx["X"], fx["y"], num_classes=3)
+    probs = mnrval(params, fx["Xtest"])
+    np.testing.assert_allclose(probs, fx["probs"], atol=2e-4)

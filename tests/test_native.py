@@ -142,3 +142,48 @@ def test_native_concurrent_callers(tmp_path, rng):
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         assert sorted(pool.map(hammer, range(4))) == [0, 1, 2, 3]
+
+
+@needs_native
+def test_batcher_mixed_rate_per_file_fallback(tmp_path):
+    """One off-rate (32 kHz) file must NOT poison the batch's fast path:
+    only that file takes the python resample fallback, the rest stay
+    native, and the result matches the all-python path exactly (the RNG
+    stream stays aligned: one draw per sample on both paths)."""
+    from pathlib import Path
+
+    from mcncrossmodalemotions_tpu.data import native as native_mod
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        BatchConfig,
+        EmoVoxBatcher,
+        build_synthetic_imdb,
+    )
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=3)
+    # rewrite one file at 32 kHz (same duration, so logits stay aligned)
+    off_idx = 1
+    path = Path(imdb.wav_dir) / imdb.wav_paths[off_idx]
+    duration = 6.0
+    rng_local = np.random.RandomState(3)
+    n = int(duration * 32000)
+    tt = np.arange(n) / 32000.0
+    wave = (0.5 * np.sin(2 * np.pi * 500.0 * tt)
+            + 0.05 * rng_local.randn(n)).astype(np.float32)
+    write_wav(path, wave, 32000)
+
+    for train in (False, True):
+        cfg = BatchConfig(batch_size=3)
+        batcher = EmoVoxBatcher(imdb, cfg, train=train, seed=11)
+        native_batches = list(batcher.batches(epoch=1))
+        orig = native_mod.available
+        native_mod.available = lambda: False
+        try:
+            py_batches = list(batcher.batches(epoch=1))
+        finally:
+            native_mod.available = orig
+        assert len(native_batches) == len(py_batches) == 2
+        for nb, pb in zip(native_batches, py_batches):
+            np.testing.assert_allclose(nb["data"], pb["data"], atol=1e-7)
+            np.testing.assert_array_equal(nb["max_label"], pb["max_label"])

@@ -151,3 +151,51 @@ def test_trainer_mesh_handles_ragged_batch():
     # eval path too
     state, stats = trainer.run_epoch(state, batches(1), epoch=1, train=False)
     assert np.isfinite(stats["loss"])
+
+
+def test_ragged_batch_metrics_exact_vs_single_device():
+    """Mesh padding rows must be excluded EXACTLY from epoch metrics:
+    eval stats over [16 + 5] samples under an 8-device mesh equal the
+    single-device stats over the same 21 samples (pad_mask weighting)."""
+    import flax.linen as nn
+
+    from mcncrossmodalemotions_tpu.losses import class_error, softmax_ce
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(3)(x)
+
+    def loss_fn(logits, batch):
+        w = batch.get("pad_mask")
+        return (softmax_ce(logits, batch["label"], sample_weight=w),
+                {"classerror": class_error(logits, batch["label"],
+                                           sample_weight=w)})
+
+    rng = np.random.RandomState(7)
+    data16 = rng.randn(16, 4).astype(np.float32)
+    label16 = rng.randint(0, 3, 16)
+    data5 = rng.randn(5, 4).astype(np.float32)
+    label5 = rng.randint(0, 3, 5)
+
+    def batches(epoch):
+        yield {"data": data16, "label": label16}
+        yield {"data": data5, "label": label5}
+
+    results = []
+    for mesh in (None, make_mesh()):
+        trainer = Trainer(
+            Net(), loss_fn,
+            TrainConfig(num_epochs=1, learning_rate=0.1, weight_decay=0.0,
+                        log_every=1000, resume=False,
+                        exp_dir=f"/tmp/ragged_exact_{mesh is not None}"),
+            mesh=mesh)
+        state = trainer.init_state({"data": data16[:2]})
+        _, stats = trainer.run_epoch(state, batches(1), epoch=1, train=False)
+        results.append(stats)
+    assert results[0]["num_samples"] == results[1]["num_samples"] == 21
+    np.testing.assert_allclose(results[1]["loss"], results[0]["loss"],
+                               atol=1e-6)
+    np.testing.assert_allclose(results[1]["classerror"],
+                               results[0]["classerror"], atol=1e-6)

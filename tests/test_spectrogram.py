@@ -134,3 +134,20 @@ def test_pallas_kernel_non_tile_multiple(rng):
     got = np.asarray(spectrogram_pallas(jnp.asarray(x), interpret=True))
     assert got.shape == ref.shape == (1, 512, 150)
     np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_spectrogram_independent_scipy_golden():
+    """Committed fixture generated by scipy.signal (an INDEPENDENT
+    framing/window/FFT implementation — tests/fixtures/generate_goldens.py),
+    not by this repo's own code: guards the runSpec conventions
+    (preemphasis, 400/160 framing, symmetric Hamming, 512-bin magnitude)
+    against self-consistent-but-wrong drift."""
+    from pathlib import Path
+
+    fx = np.load(Path(__file__).parent / "fixtures" / "spectrogram_golden.npz")
+    for tag, frames in (("400", 100), ("37", 37)):
+        wave = fx[f"wave_{tag}"]
+        want = fx[f"mag_{tag}"]
+        got = np.asarray(spectrogram(jnp.asarray(wave[None])))[0]
+        assert got.shape == want.shape == (512, frames)
+        np.testing.assert_allclose(got, want, atol=5e-4)
