@@ -111,6 +111,106 @@ class EmoVoxImdb:
         )
 
 
+def emovox_imdb_from_mat(path: str | Path, wav_dir: str = "",
+                         frame_dir: str = "",
+                         with_frames: bool = True) -> EmoVoxImdb:
+    """Import the released ``senet50-ferplus-logits.mat`` EmoVoxCeleb imdb.
+
+    Schema (fetch_emovoxceleb_imdb.m buildImdb / SURVEY.md section 2.3):
+    ``images.name`` wav relpaths, ``images.sp`` speaker ids,
+    ``images.set`` in {1,2,3}, flat ``images.denseFrames`` +
+    ``images.denseFramesWavIds`` (1-based wav ids per frame), and
+    ``wavLogits`` cell of per-wav [F, 8] logit arrays. Handles both the
+    classic .mat container (scipy.io) and MATLAB -v7.3/HDF5 (h5py — the
+    released multi-GB dump's format).
+    """
+    import h5py
+
+    if h5py.is_hdf5(str(path)):  # MATLAB -v7.3 container
+        return _emovox_from_mat_h5(path, wav_dir, frame_dir, with_frames)
+    return _emovox_from_mat_scipy(path, wav_dir, frame_dir, with_frames)
+
+
+def _group_dense_frames(dense_frames, wav_ids, num_tracks: int):
+    """Flat frame list + 1-based wav ids -> per-track frame-path lists."""
+    if dense_frames is None or len(dense_frames) == 0:
+        return None
+    per_track: list = [[] for _ in range(num_tracks)]
+    for frame, wid in zip(dense_frames, wav_ids):
+        per_track[int(wid) - 1].append(str(frame))
+    return [np.asarray(f, dtype=object) for f in per_track]
+
+
+def _emovox_from_mat_scipy(path, wav_dir, frame_dir, with_frames) -> EmoVoxImdb:
+    import scipy.io
+
+    mat = scipy.io.loadmat(str(path), struct_as_record=False, squeeze_me=True)
+    images = mat["images"]
+    names = np.asarray([str(n) for n in np.atleast_1d(images.name)],
+                       dtype=object)
+    speakers = np.asarray([str(s) for s in np.atleast_1d(images.sp)],
+                          dtype=object)
+    set_id = np.asarray(np.atleast_1d(images.set), np.int32)
+    wav_logits = [np.atleast_2d(np.asarray(l, np.float32))
+                  for l in np.atleast_1d(mat["wavLogits"])]
+    dense = None
+    if with_frames and hasattr(images, "denseFrames"):
+        dense = _group_dense_frames(
+            [str(f) for f in np.atleast_1d(images.denseFrames)],
+            np.atleast_1d(images.denseFramesWavIds), len(names))
+    from mcncrossmodalemotions_tpu import EMOTIONS
+
+    return EmoVoxImdb(wav_paths=names, speaker=speakers, set_id=set_id,
+                      wav_logits=wav_logits, dense_frames=dense,
+                      wav_dir=wav_dir, frame_dir=frame_dir, classes=EMOTIONS)
+
+
+def _h5_string(f, obj) -> str:
+    """Decode a MATLAB v7.3 string (uint16 codepoint array or ref)."""
+    if isinstance(obj, h5_ref_type()):
+        obj = f[obj]
+    arr = np.asarray(obj).reshape(-1)
+    return "".join(chr(int(c)) for c in arr)
+
+
+def h5_ref_type():
+    import h5py
+
+    return h5py.Reference
+
+
+def _emovox_from_mat_h5(path, wav_dir, frame_dir, with_frames) -> EmoVoxImdb:
+    """MATLAB -v7.3 (HDF5) layout: cell arrays are object-reference
+    datasets; strings are uint16 codepoint matrices; numeric arrays are
+    transposed (column-major storage)."""
+    import h5py
+
+    with h5py.File(str(path), "r") as f:
+        images = f["images"]
+
+        def str_cell(ds):
+            refs = np.asarray(ds).reshape(-1)
+            return np.asarray([_h5_string(f, r) for r in refs], dtype=object)
+
+        names = str_cell(images["name"])
+        speakers = str_cell(images["sp"])
+        set_id = np.asarray(images["set"]).reshape(-1).astype(np.int32)
+        logits_refs = np.asarray(f["wavLogits"]).reshape(-1)
+        # v7.3 stores column-major: a MATLAB [F, 8] single arrives [8, F]
+        wav_logits = [np.atleast_2d(np.asarray(f[r], np.float32)).T
+                      for r in logits_refs]
+        dense = None
+        if with_frames and "denseFrames" in images:
+            frames = str_cell(images["denseFrames"])
+            wav_ids = np.asarray(images["denseFramesWavIds"]).reshape(-1)
+            dense = _group_dense_frames(frames, wav_ids, len(names))
+    from mcncrossmodalemotions_tpu import EMOTIONS
+
+    return EmoVoxImdb(wav_paths=names, speaker=speakers, set_id=set_id,
+                      wav_logits=wav_logits, dense_frames=dense,
+                      wav_dir=wav_dir, frame_dir=frame_dir, classes=EMOTIONS)
+
+
 @dataclasses.dataclass
 class FerPlusImdb:
     """FER2013+ manifest: pixel data + rater vote distributions."""

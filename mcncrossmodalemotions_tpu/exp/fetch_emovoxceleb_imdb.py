@@ -104,22 +104,49 @@ def build_imdb(root: str | Path, teacher_model, teacher_variables,
 def fetch_emovoxceleb_imdb(root: str | Path, teacher_model=None,
                            teacher_variables=None,
                            cache_path: Optional[str] = None,
+                           download: bool = False,
                            **build_kwargs) -> EmoVoxImdb:
     """Load-or-build with two cache levels (global var + .npz file),
-    mirroring fetch_emovoxceleb_imdb.m:16-40."""
+    mirroring fetch_emovoxceleb_imdb.m:16-40.
+
+    Resolution order on a cache miss: (1) with ``download=True``, fetch
+    the released prebuilt logits imdb (senet50-ferplus-logits.mat,
+    fetch_emovoxceleb_imdb.m:288-324) and convert it; (2) with a teacher
+    model, run the dense-inference build. Offline runs skip (1)
+    gracefully and fall through to (2).
+    """
     key = f"{root}|{cache_path}"
     if key in _MEMORY_CACHE:
         return _MEMORY_CACHE[key]
     if cache_path and Path(cache_path).exists():
         imdb = EmoVoxImdb.load(cache_path)
     else:
-        if teacher_model is None:
-            raise FileNotFoundError(
-                f"no cached imdb at {cache_path!r}; pass a teacher model to build"
+        imdb = None
+        if download:
+            from mcncrossmodalemotions_tpu.data.imdb import (
+                emovox_imdb_from_mat,
             )
-        build_kwargs.setdefault(
-            "partial_path", f"{cache_path}.partial.npz" if cache_path else None)
-        imdb = build_imdb(root, teacher_model, teacher_variables, **build_kwargs)
+            from mcncrossmodalemotions_tpu.zoo.artifacts import (
+                ensure_artifact,
+            )
+
+            mat = ensure_artifact("emovoxceleb-logits")
+            if mat is not None:
+                root = Path(root)
+                imdb = emovox_imdb_from_mat(
+                    mat, wav_dir=str(root / "wavs"),
+                    frame_dir=str(root / "frames"))
+        if imdb is None:
+            if teacher_model is None:
+                raise FileNotFoundError(
+                    f"no cached imdb at {cache_path!r}; pass a teacher model "
+                    "to build it, or download=True for the released logits"
+                )
+            build_kwargs.setdefault(
+                "partial_path",
+                f"{cache_path}.partial.npz" if cache_path else None)
+            imdb = build_imdb(root, teacher_model, teacher_variables,
+                              **build_kwargs)
         if cache_path:
             imdb.save(cache_path)
     _MEMORY_CACHE[key] = imdb

@@ -55,19 +55,39 @@ def build_student(name: str = "emovoxceleb-student", *,
     return VGGMStudent(dropout_rate=dropout, **kw)
 
 
+def resolve_release(name_or_path, download: bool = True):
+    """Map a released-model NAME to a local .mat path (download-on-miss,
+    emoVoxZoo.m:74-102 / ferPlusZoo fetchModel equivalent); existing
+    file paths pass through untouched."""
+    import os
+
+    if os.path.exists(str(name_or_path)):
+        return name_or_path
+    from mcncrossmodalemotions_tpu.zoo.artifacts import (ARTIFACTS,
+                                                         fetch_artifact)
+
+    if str(name_or_path) in ARTIFACTS:
+        return fetch_artifact(str(name_or_path), download=download)
+    return name_or_path  # a path that doesn't exist yet -> error downstream
+
+
 def load_pretrained_student(mat_path, *, with_frontend: bool = True,
-                            spec: SpecConfig = DEFAULT_SPEC):
+                            spec: SpecConfig = DEFAULT_SPEC,
+                            download: bool = True):
     """Load a released MatConvNet student .mat into the Flax model.
 
     The fromScratch=False path of emoVoxZoo (emoVoxZoo.m:25-44): returns
     (model, variables) with imported weights, ready for eval or continued
     training. Architecture dims (fc6/fc7/head widths) come from the
     release. With ``with_frontend`` the variables are nested under the
-    pipeline's 'net' submodule.
+    pipeline's 'net' submodule. ``mat_path`` may be a registry name
+    ('emovoxceleb-student'), resolved download-on-miss.
     """
     import numpy as np
 
     from mcncrossmodalemotions_tpu.zoo.matconvnet import import_vggm_student
+
+    mat_path = resolve_release(mat_path, download=download)
 
     variables = import_vggm_student(mat_path)
     # VGGMStudent convs are bias-free (the following BN absorbs the bias):
@@ -99,7 +119,8 @@ def load_pretrained_student(mat_path, *, with_frontend: bool = True,
 
 
 def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
-                            input_size: int = 224, augment: bool = False):
+                            input_size: int = 224, augment: bool = False,
+                            download: bool = True):
     """Load a released MatConvNet teacher .mat into the Flax ResNet/SENet.
 
     The pretrained path of ferPlusZoo (ferPlusZoo.m:103-114: "pretrained
@@ -109,12 +130,15 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
     with ``with_pipeline`` the model is a ``FaceTeacherPipeline`` whose
     ``mean_rgb`` comes from the release's ``normalization.averageImage``
     when present (fetch_emovoxceleb_imdb.m:186-193), with variables
-    nested under the 'teacher' submodule.
+    nested under the 'teacher' submodule. ``mat_path`` may be a registry
+    name ('senet50-ferplus'), resolved download-on-miss.
     """
     import numpy as np
 
     from mcncrossmodalemotions_tpu.zoo.matconvnet import (import_teacher,
                                                           load_mat_meta)
+
+    mat_path = resolve_release(mat_path, download=download)
 
     arch, variables = import_teacher(mat_path)
     # ResNet convs are bias-free (BN follows); fold any released conv bias
