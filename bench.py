@@ -1,48 +1,84 @@
 """Distillation training throughput benchmark (the BASELINE.json metric).
 
-Measures steady-state utts/sec/chip of the full student distillation
-train step — on-device spectrogram frontend + VGG-M forward + backward +
-SGD update, batch 64 of 4 s crops (the run_distillation.m defaults) —
-on whatever accelerator is visible (the driver runs this on one real
-TPU chip).
+Headline (the ONE stdout JSON line): steady-state utts/sec/chip of the
+full student distillation train step — on-device spectrogram frontend +
+VGG-M forward + backward + SGD update, 4 s crops, batch 128 (the
+run_distillation.m defaults scaled to chip saturation) — on whatever
+accelerator is visible (the driver runs this on one real TPU chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is utts/sec divided by an **estimate** of the reference
+MatConvNet-GPU pipeline's throughput (60 utts/sec): the reference
+publishes no wall-clock numbers at all (SURVEY.md section 6 /
+BASELINE.md), so there is nothing measured to divide by. The estimate
+comes from the reference's serial per-sample CPU wav-decode + MATLAB
+spectrogram hot loop (~15 ms/sample class of hardware,
+getBatchEmoVoxCeleb.m hot loop, SURVEY.md section 3.1). Treat the ratio
+as vs-estimate, not vs-measurement.
 
-``vs_baseline`` compares against an estimated MatConvNet-GPU reference
-throughput of 60 utts/sec: the reference publishes no wall-clock numbers
-(SURVEY.md section 6), and its pipeline was bottlenecked by per-sample
-CPU wav decode + MATLAB spectrograms feeding a single-GPU VGG-M
-(~15 ms/batch-sample observed class of hardware, getBatchEmoVoxCeleb hot
-loop, SURVEY.md section 3.1). The BASELINE.json target is >=10x this
-(600 utts/sec/chip on v5e).
+The headline reuses an on-device batch, i.e. it reports the chip's
+compute throughput with the host feed fully overlapped — what the
+training engine's double-buffered prefetch + int16 waveform shipping
+achieve on PCIe-attached hosts. The END-TO-END number (synthetic
+on-disk imdb -> native threaded loader -> prefetch -> train step) is
+measured separately and reported in bench_details.json; on this dev
+environment the host link is a ~33 MB/s network tunnel, which caps the
+feed at ~250 utts/s regardless of design — an artifact of the tunnel,
+not the pipeline.
 
-The measurement reuses an on-device batch, i.e. it reports the chip's
-compute throughput with the host feed fully overlapped — the training
-engine's double-buffered prefetch + int16 waveform shipping achieve that
-overlap on PCIe-attached hosts (on this dev environment's ~33 MB/s
-network tunnel the feed cannot be fully hidden; that is an artifact of
-the tunnel, not the design).
+Usage:
+    python bench.py              # headline + MFU + details file
+    python bench.py --full       # + end-to-end epoch, teacher, fused,
+                                 #   audio-feats sub-benchmarks
+    python bench.py --quick      # headline only
 """
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-MATCONVNET_BASELINE_UTTS_PER_SEC = 60.0
+MATCONVNET_BASELINE_UTTS_PER_SEC = 60.0  # ESTIMATE — see module docstring
+
+# bf16 peak of the chip kinds we may land on (MXU TFLOPS)
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+    "TPU v4": 275.0, "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+}
 
 
-def main():
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _sync(x) -> float:
+    """The ONLY reliable device sync on this runtime: device_get a value
+    that depends on the computation (block_until_ready returns without
+    waiting under the axon-tunnelled TPU backend)."""
     import jax
 
-    try:
-        # Persistent compilation cache: the full train step takes ~3 min to
-        # compile on this runtime; repeated bench runs skip it entirely.
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/mcncrossmodal_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass  # older jax without these options
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def _best_of(fn, sync, iters=20, reps=3):
+    """Best steady-state window (the tunnelled runtime shows ~10%
+    run-to-run jitter unrelated to the program)."""
+    fn()
+    sync()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        sync()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def bench_train_step(details: dict):
+    """Headline: full distillation train step, on-device batch."""
+    import jax
     import jax.numpy as jnp
 
     from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC
@@ -59,45 +95,290 @@ def main():
     batch = {
         "data": jnp.asarray(rng.randn(batch_size, crop).astype(np.float32)),
         "logit_target": jnp.asarray(
-            rng.randn(batch_size, 8).astype(np.float32) * 2
-        ),
+            rng.randn(batch_size, 8).astype(np.float32) * 2),
         "max_label": jnp.asarray(rng.randint(0, 8, batch_size)),
     }
-
     model = build_student("emovoxceleb-student")
     variables = model.init(jax.random.PRNGKey(0), batch["data"][:1])
     state = TrainState.create(variables, jax.random.PRNGKey(1))
     loss_fn = student_loss_fn("hot-cross-ent", temperature=2.0)
+    step_fn = make_train_step(model.apply, loss_fn,
+                              SGDConfig(weight_decay=0.0))
+    step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # analytic FLOPs from the compiled program (for the MFU estimate)
+    flops = None
+    try:
+        compiled = jax.jit(step_fn).lower(state, batch, 1e-4).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as exc:  # cost analysis is backend-dependent
+        _log(f"cost_analysis unavailable: {exc}")
+
+    st = [state]
+    metrics_box = [None]
+
+    def run():
+        s, m = step(st[0], batch, 1e-4)
+        st[0] = s
+        metrics_box[0] = m
+
+    sec = _best_of(run, lambda: _sync(metrics_box[0]["loss"]))
+    utts = batch_size / sec
+    details["train_step_ms"] = round(sec * 1000, 3)
+    details["train_step_utts_per_sec"] = round(utts, 2)
+    if flops:
+        kind = jax.devices()[0].device_kind
+        peak = _PEAK_TFLOPS.get(kind)
+        details["train_step_flops"] = flops
+        details["achieved_tflops"] = round(flops / sec / 1e12, 2)
+        if peak:
+            details["device_kind"] = kind
+            details["mfu_estimate"] = round(flops / sec / 1e12 / peak, 4)
+            _log(f"MFU: {details['mfu_estimate']:.1%} "
+                 f"({details['achieved_tflops']} TFLOPS of {peak} peak "
+                 f"bf16 on {kind})")
+    return utts
+
+
+def bench_end_to_end_epoch(details: dict):
+    """One epoch over a synthetic ON-DISK imdb: native threaded loader +
+    int16 feed + double-buffered prefetch + train step (utts/s incl. host)."""
+    import tempfile
+
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        BatchConfig,
+        EmoVoxBatcher,
+        build_synthetic_imdb,
+    )
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+    from mcncrossmodalemotions_tpu.zoo import build_student, student_loss_fn
+
+    root = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    imdb = build_synthetic_imdb(root / "wavs", num_speakers=8,
+                                tracks_per_speaker=32,
+                                duration_range=(4.2, 6.0))
+    cfg = BatchConfig(batch_size=64)
+    batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=0)
+    model = build_student("emovoxceleb-student")
+    trainer = Trainer(
+        model, student_loss_fn("hot-cross-ent", temperature=2.0),
+        TrainConfig(num_epochs=2, learning_rate=1e-4, weight_decay=0.0,
+                    log_every=10_000, resume=False,
+                    exp_dir=str(root / "exp")))
+    example = next(iter(batcher.batches(epoch=1, epoch_size=cfg.batch_size)))
+    state = trainer.init_state(example)
+    # epoch 1 warms the compile; epoch 2 is the measurement
+    state, _ = trainer.run_epoch(state, batcher.batches(epoch=1), 1, True)
+    state, stats = trainer.run_epoch(state, batcher.batches(epoch=2), 2, True)
+    details["end_to_end_epoch_utts_per_sec"] = round(
+        stats["samples_per_sec"], 2)
+    details["end_to_end_epoch_samples"] = stats["num_samples"]
+    return stats["samples_per_sec"]
+
+
+def bench_teacher(details: dict):
+    """SENet50 teacher: inference imgs/s and train-step imgs/s (bs128/32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.train.state import (
+        SGDConfig,
+        TrainState,
+        make_train_step,
+    )
+    from mcncrossmodalemotions_tpu.zoo import build_teacher, teacher_loss_fn
+
+    rng = np.random.RandomState(0)
+    teacher = build_teacher("senet50-ferplus")
+    x = jnp.asarray(rng.randn(128, 224, 224, 3).astype(np.float32))
+    variables = teacher.init(jax.random.PRNGKey(0), x[:1])
+    fwd = jax.jit(lambda v, a: teacher.apply(v, a, train=False))
+    out = [None]
+
+    def run_fwd():
+        out[0] = fwd(variables, x)
+
+    sec = _best_of(run_fwd, lambda: _sync(out[0].sum()), iters=10)
+    details["teacher_inference_imgs_per_sec"] = round(128 / sec, 2)
+
+    bs = 32
+    batch = {
+        "data": jnp.asarray(rng.randn(bs, 224, 224, 3).astype(np.float32)),
+        "label_dist": jnp.asarray(
+            np.full((bs, 8), 1 / 8, np.float32)),
+        "hard_label": jnp.asarray(rng.randint(0, 8, bs)),
+    }
+    state = TrainState.create(variables, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(teacher.apply,
+                                   teacher_loss_fn("distributions"),
+                                   SGDConfig(weight_decay=0.0)),
+                   donate_argnums=(0,))
+    st, mbox = [state], [None]
+
+    def run_step():
+        s, m = step(st[0], batch, 1e-3)
+        st[0] = s
+        mbox[0] = m
+
+    sec = _best_of(run_step, lambda: _sync(mbox[0]["loss"]), iters=10)
+    details["teacher_train_imgs_per_sec"] = round(bs / sec, 2)
+
+
+def bench_fused_online(details: dict):
+    """Fused online distillation: frozen SENet50 fwd + student step in ONE
+    XLA program (train/distill.py), bs32 x 2 frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.models.teacher_pipeline import (
+        FaceTeacherPipeline,
+    )
+    from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC
+    from mcncrossmodalemotions_tpu.train.distill import (
+        make_online_distill_step,
+    )
+    from mcncrossmodalemotions_tpu.train.state import SGDConfig, TrainState
+    from mcncrossmodalemotions_tpu.zoo import build_student, build_teacher
+
+    rng = np.random.RandomState(0)
+    bs, k = 32, 2
+    crop = DEFAULT_SPEC.crop_samples(400)
+    batch = {
+        "data": jnp.asarray(rng.randn(bs, crop).astype(np.float32)),
+        "frames": jnp.asarray(
+            rng.randint(0, 255, (bs, k, 224, 224, 1)).astype(np.uint8)),
+    }
+    student = build_student("emovoxceleb-student")
+    svars = student.init(jax.random.PRNGKey(0), batch["data"][:1])
+    pipeline = FaceTeacherPipeline(
+        teacher=build_teacher("senet50-ferplus"), augment=False)
+    tvars = pipeline.init(jax.random.PRNGKey(1), batch["frames"][0, :1])
+    state = TrainState.create(svars, jax.random.PRNGKey(2))
     step = jax.jit(
-        make_train_step(model.apply, loss_fn, SGDConfig(weight_decay=0.0)),
-        donate_argnums=(0,),
+        make_online_distill_step(student.apply, pipeline.apply, tvars,
+                                 sgd=SGDConfig(weight_decay=0.0)),
+        donate_argnums=(0,))
+    st, mbox = [state], [None]
+
+    def run():
+        s, m = step(st[0], batch, 1e-4)
+        st[0] = s
+        mbox[0] = m
+
+    sec = _best_of(run, lambda: _sync(mbox[0]["loss"]), iters=10)
+    details["fused_online_step_utts_per_sec"] = round(bs / sec, 2)
+    details["fused_online_step_ms"] = round(sec * 1000, 2)
+
+
+def bench_audio_feats(details: dict):
+    """Bucketed full-clip student extraction, end to end from disk
+    (threaded native reads overlapped with device compute)."""
+    import tempfile
+
+    import jax
+
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+        AudioFeatureExtractor,
+    )
+    from mcncrossmodalemotions_tpu.models import VGGMStudent
+
+    root = Path(tempfile.mkdtemp(prefix="bench_feats_"))
+    imdb = build_synthetic_imdb(root / "wavs", num_speakers=8,
+                                tracks_per_speaker=25,
+                                duration_range=(2.0, 9.5))
+    model = VGGMStudent()
+    x = np.zeros((1, 512, 100, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    extractor = AudioFeatureExtractor(model, variables, batch_size=16)
+    paths = [str(Path(imdb.wav_dir) / p) for p in imdb.wav_paths]
+    extractor.track_logits(paths[:32], verbose=False)  # warm compiles
+    t0 = time.perf_counter()
+    out = extractor.track_logits(paths, verbose=False)
+    sec = time.perf_counter() - t0
+    assert all(o is not None for o in out)
+    details["audio_feats_tracks_per_sec"] = round(len(paths) / sec, 2)
+
+
+def bench_frontend(details: dict):
+    """Spectrogram frontend: jnp MXU-matmul DFT vs fused Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.ops.spectrogram import (
+        DEFAULT_SPEC,
+        waveform_to_input,
     )
 
-    # warmup / compile. NOTE: sync via device_get, not block_until_ready —
-    # the latter returns without waiting under the axon-tunnelled TPU
-    # runtime, which silently turns this into a dispatch-rate benchmark.
-    state, metrics = step(state, batch, 1e-4)
-    float(jax.device_get(metrics["loss"]))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.randn(128, DEFAULT_SPEC.crop_samples(400)).astype(np.float32))
+    out = [None]
+    for name, use_pallas in (("jnp", False), ("pallas", True)):
+        try:
+            f = jax.jit(lambda a, up=use_pallas: waveform_to_input(
+                a, use_pallas=up))
 
-    # steady state: steps are chained through `state`, so syncing the final
-    # loss bounds the whole sequence. Best of 3 windows — the tunnelled
-    # runtime shows ~10% run-to-run jitter unrelated to the program.
-    iters = 20
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step(state, batch, 1e-4)
-        float(jax.device_get(metrics["loss"]))
-        elapsed = time.perf_counter() - t0
-        best = max(best, batch_size * iters / elapsed)
+            def run():
+                out[0] = f(x)
 
-    utts_per_sec = best
+            sec = _best_of(run, lambda: _sync(out[0].sum()), iters=10)
+            details[f"frontend_{name}_ms"] = round(sec * 1000, 3)
+        except Exception as exc:
+            _log(f"frontend {name} bench failed: {exc}")
+
+
+def main():
+    import jax
+
+    try:
+        # Persistent compilation cache: the full train step takes ~3 min
+        # to compile on this runtime; repeated bench runs skip it.
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/mcncrossmodal_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass  # older jax without these options
+
+    full = "--full" in sys.argv
+    quick = "--quick" in sys.argv
+    details: dict = {"device_kind": jax.devices()[0].device_kind,
+                     "backend": jax.default_backend()}
+
+    utts_per_sec = bench_train_step(details)
+    if not quick:
+        for name, fn in (("frontend", bench_frontend),
+                         ("end_to_end", bench_end_to_end_epoch),
+                         ("teacher", bench_teacher),
+                         ("fused_online", bench_fused_online),
+                         ("audio_feats", bench_audio_feats)):
+            if not full and name in ("teacher", "fused_online",
+                                     "audio_feats"):
+                continue
+            try:
+                _log(f"running {name} sub-benchmark ...")
+                fn(details)
+            except Exception as exc:
+                _log(f"{name} sub-benchmark failed: {exc}")
+        try:
+            Path("bench_details.json").write_text(
+                json.dumps(details, indent=2) + "\n")
+            _log("details -> bench_details.json: "
+                 + json.dumps(details))
+        except OSError as exc:
+            _log(f"could not write bench_details.json: {exc}")
+
     print(json.dumps({
         "metric": "distillation_train_throughput",
         "value": round(utts_per_sec, 2),
         "unit": "utts/sec/chip",
-        "vs_baseline": round(utts_per_sec / MATCONVNET_BASELINE_UTTS_PER_SEC, 2),
+        # vs an ESTIMATED 60 utts/s MatConvNet pipeline (no published
+        # wall-clock exists) — see module docstring
+        "vs_baseline": round(
+            utts_per_sec / MATCONVNET_BASELINE_UTTS_PER_SEC, 2),
     }))
 
 
