@@ -27,8 +27,14 @@ def sample_audio(imdb: EmoVoxImdb, out_dir: str | Path,
                  emotions: Optional[Sequence[str]] = None,
                  copy_wavs: bool = True,
                  make_figures: bool = True,
+                 sample_frame_seq: bool = False,
                  overwrite: bool = False) -> dict:
-    """Returns {emotion: [track indices sampled]}; writes sample packs."""
+    """Returns {emotion: [track indices sampled]}; writes sample packs.
+
+    ``sample_frame_seq`` additionally copies each sample's FULL sorted
+    frame sequence as ``<stem>-frames/00001.jpg ...`` (the reference's
+    opts.sampleFrameSeq, sample_audio.m:180-198).
+    """
     out_dir = Path(out_dir)
     if out_dir.exists() and any(out_dir.iterdir()):
         if not overwrite:
@@ -72,6 +78,14 @@ def sample_audio(imdb: EmoVoxImdb, out_dir: str | Path,
                         min(peak_frame, len(track_frames) - 1)]
                     if fsrc.exists():
                         shutil.copy(fsrc, emo_dir / (stem + "-peak.jpg"))
+                    if sample_frame_seq:
+                        # full sequence copy (sample_audio.m:180-198)
+                        seq_dir = emo_dir / (stem + "-frames")
+                        seq_dir.mkdir(parents=True, exist_ok=True)
+                        for kk, frel in enumerate(sorted(track_frames), 1):
+                            fsrc = Path(imdb.frame_dir) / frel
+                            if fsrc.exists():
+                                shutil.copy(fsrc, seq_dir / f"{kk:05d}.jpg")
             meta_lines.append(
                 f"{rank}\t{rel}\tspeaker={imdb.speaker[idx]}\t"
                 f"peak_frame={peak_frame}\tmax_logit={logits.max():.3f}"

@@ -30,6 +30,7 @@ def build_student(name: str = "emovoxceleb-student", *,
                   with_frontend: bool = True,
                   use_pallas_frontend: bool = False,
                   loss_type: str | None = None,
+                  use_bnorm: bool = True,
                   tiny: bool = False):
     """Student zoo (emoVoxZoo.m:25-31 names; scratch init path :202-243).
 
@@ -48,11 +49,14 @@ def build_student(name: str = "emovoxceleb-student", *,
     if tiny:
         kw.update(fc6_features=64, fc7_features=32)
     if with_frontend:
+        if not use_bnorm:
+            raise ValueError("use_bnorm=False is only supported for the "
+                             "bare model (with_frontend=False)")
         return AudioStudentPipeline(
             spec=spec, dropout_rate=dropout,
             use_pallas_frontend=use_pallas_frontend, **kw,
         )
-    return VGGMStudent(dropout_rate=dropout, **kw)
+    return VGGMStudent(dropout_rate=dropout, use_batchnorm=use_bnorm, **kw)
 
 
 def resolve_release(name_or_path, download: bool = True):
@@ -186,7 +190,14 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
 def build_teacher(name: str = "senet50-ferplus", *,
                   num_outputs: int = 8,
                   tiny: bool = False) -> ResNet:
-    """Teacher zoo (ferPlusZoo.m:37-92 registry, 8-way CNTK head)."""
+    """Teacher zoo (ferPlusZoo.m:37-92 registry, 8-way CNTK head).
+
+    The reference's ``useBnorm`` insertion option (ferPlusZoo.m:123)
+    targets its BN-less classic models (vgg_face etc.); the ResNet/SENet
+    teachers carry BatchNorm inherently, and the student exposes the
+    equivalent switch as ``VGGMStudent.use_batchnorm``
+    (``build_student(use_bnorm=...)``).
+    """
     if name not in TEACHER_MODELS:
         raise KeyError(f"unknown teacher {name!r}; known: {TEACHER_MODELS}")
     use_se = name.startswith("senet")
@@ -195,6 +206,37 @@ def build_teacher(name: str = "senet50-ferplus", *,
                       num_outputs=num_outputs)
     return SENet50(num_outputs=num_outputs) if use_se else ResNet50(
         num_outputs=num_outputs)
+
+
+# Dev-checkpoint registry (ferPlusZoo.m:63-92): development model names
+# pinned to specific training epochs inside their experiment dirs. The
+# reference resolves these to net-epoch-N.mat under a 'grimaces'
+# subfolder; here they resolve to this framework's checkpoint files
+# inside the corresponding experiment directory.
+DEV_CHECKPOINTS = {
+    "resnet50_ft-dag-dropout-0.1":
+        ("grimaces/resnet50_ft-dag-dropout-0.1", 17),
+    "resnet50_ft-dag-dropout-0.5":
+        ("grimaces/resnet50_ft-dag-dropout-0.5", 122),
+    "senet50_ft-dag-distributions-dropout-0.5-aug":
+        ("grimaces/senet50_ft-dag-distributions-dropout-0.5-aug", 98),
+    "senet50_ft-dag-distributions-CNTK-dropout-0.5-aug":
+        ("grimaces/senet50_ft-dag-distributions-CNTK-dropout-0.5-aug", 90),
+}
+
+
+def dev_checkpoint_path(name: str, exps_root):
+    """Resolve a dev model name to its pinned epoch checkpoint path
+    (ferPlusZoo.m:63-92 'net-epoch-N' mapping)."""
+    from pathlib import Path
+
+    from mcncrossmodalemotions_tpu.train.checkpoints import checkpoint_path
+
+    if name not in DEV_CHECKPOINTS:
+        raise KeyError(f"unknown dev checkpoint {name!r}; known: "
+                       f"{sorted(DEV_CHECKPOINTS)}")
+    subdir, epoch = DEV_CHECKPOINTS[name]
+    return checkpoint_path(Path(exps_root) / subdir, epoch)
 
 
 def student_loss_fn(loss_type: str = "hot-cross-ent", *,

@@ -268,3 +268,40 @@ def test_batcher_speed_and_noise_aug_trains(emovox_imdb, tmp_path):
     state = trainer.init_state(batches[0])
     state, stats = trainer.run_epoch(state, iter(batches), epoch=1, train=True)
     assert np.isfinite(stats["loss"])
+
+
+def test_sample_audio_frame_sequence_copy(tmp_path):
+    """opts.sampleFrameSeq (sample_audio.m:180-198): the full sorted frame
+    sequence is copied as frames 00001.jpg.. next to each sample."""
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+    from mcncrossmodalemotions_tpu.exp.sample_audio import sample_audio
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=3, with_frames=True)
+    sampled = sample_audio(imdb, tmp_path / "samples", per_emotion=2,
+                           make_figures=False, sample_frame_seq=True)
+    seq_dirs = list((tmp_path / "samples").glob("*/*-frames"))
+    assert seq_dirs, "no frame-sequence dirs written"
+    for d in seq_dirs:
+        jpgs = sorted(p.name for p in d.glob("*.jpg"))
+        assert jpgs and jpgs[0] == "00001.jpg"
+
+
+def test_dev_checkpoint_registry(tmp_path):
+    """ferPlusZoo.m:63-92: dev model names resolve to pinned epochs."""
+    import pytest as _pytest
+
+    from mcncrossmodalemotions_tpu.zoo.registry import (
+        DEV_CHECKPOINTS,
+        dev_checkpoint_path,
+    )
+
+    p = dev_checkpoint_path("resnet50_ft-dag-dropout-0.1", tmp_path)
+    assert p.name == "net-epoch-17.msgpack"
+    assert "grimaces/resnet50_ft-dag-dropout-0.1" in str(p)
+    p = dev_checkpoint_path(
+        "senet50_ft-dag-distributions-CNTK-dropout-0.5-aug", tmp_path)
+    assert p.name == "net-epoch-90.msgpack"
+    assert len(DEV_CHECKPOINTS) == 4
+    with _pytest.raises(KeyError):
+        dev_checkpoint_path("not-a-model", tmp_path)
