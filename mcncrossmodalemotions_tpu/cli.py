@@ -94,10 +94,18 @@ def cmd_bench(argv):
     return 0
 
 
+def cmd_reproduce_ferplus(argv):
+    """Released-weights FER+ regression vs the reference README table."""
+    from mcncrossmodalemotions_tpu.exp.reproduce_ferplus import main as rmain
+
+    return rmain(argv)
+
+
 COMMANDS = {
     "distill": cmd_distill,
     "ferplus": cmd_ferplus,
     "benchmark-ferplus": cmd_benchmark_ferplus,
+    "reproduce-ferplus": cmd_reproduce_ferplus,
     "bench": cmd_bench,
 }
 

