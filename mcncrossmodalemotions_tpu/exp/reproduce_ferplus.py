@@ -71,7 +71,8 @@ def reproduce_ferplus(fer_csv: str, ferplus_csv: str,
                       out_root: str = "exps/reproduce-ferplus",
                       tolerance: float = DEFAULT_TOLERANCE,
                       download: bool = True,
-                      batch_size: int = 128) -> dict:
+                      batch_size: int = 128,
+                      input_size: int = 224) -> dict:
     """Run the full reproduction; returns the check_results report."""
     from mcncrossmodalemotions_tpu.data.ferplus import parse_ferplus_csvs
     from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
@@ -85,7 +86,8 @@ def reproduce_ferplus(fer_csv: str, ferplus_csv: str,
     imdb = parse_ferplus_csvs(fer_csv, ferplus_csv)
     results = benchmark_ferplus_models(
         imdb, out_root=out_root, models=MODELS, pretrained_mats=mats,
-        base_cfg=FerPlusConfig(batch_size=batch_size),
+        base_cfg=FerPlusConfig(batch_size=batch_size,
+                               input_size=input_size),
         cache_dir=str(Path(out_root) / "cache"))
     report = check_results(results, tolerance)
     report["results"] = results

@@ -381,7 +381,7 @@ def test_reproduce_ferplus_end_to_end_synthetic(tmp_path, monkeypatch):
 
     report = reproduce_ferplus(str(fer_csv), str(ferplus_csv),
                                out_root=str(tmp_path / "out"),
-                               batch_size=8)
+                               batch_size=8, input_size=48)
     # random tiny models cannot hit 88.8%; wiring is what's under test
     assert report["pass"] is False
     assert (tmp_path / "out" / "report.json").exists()
