@@ -287,3 +287,21 @@ def test_mesh_equals_single_device_teacher_pipeline_multistep():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_initialize_multihost_argument_plumbing(monkeypatch):
+    """DCN init wrapper: args forwarded to jax.distributed.initialize,
+    single-process short-circuits, None args omitted (auto-detect)."""
+    from mcncrossmodalemotions_tpu.parallel.mesh import initialize_multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    initialize_multihost(num_processes=1)  # single host: no-op
+    assert calls == []
+    initialize_multihost("10.0.0.1:1234", num_processes=4, process_id=2)
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+    calls.clear()
+    initialize_multihost()  # Cloud TPU auto-detection path
+    assert calls == [{}]
