@@ -106,10 +106,12 @@ def bench_train_step(details: dict):
                               SGDConfig(weight_decay=0.0))
     step = jax.jit(step_fn, donate_argnums=(0,))
 
-    # analytic FLOPs from the compiled program (for the MFU estimate)
+    # analytic FLOPs from the compiled program (for the MFU estimate) —
+    # lower/compile the SAME donated jit so the ~3 min compile is paid
+    # once and the timing loop below hits the cache
     flops = None
     try:
-        compiled = jax.jit(step_fn).lower(state, batch, 1e-4).compile()
+        compiled = step.lower(state, batch, 1e-4).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -295,7 +297,9 @@ def bench_audio_feats(details: dict):
     variables = model.init(jax.random.PRNGKey(0), x)
     extractor = AudioFeatureExtractor(model, variables, batch_size=16)
     paths = [str(Path(imdb.wav_dir) / p) for p in imdb.wav_paths]
-    extractor.track_logits(paths[:32], verbose=False)  # warm compiles
+    # warm EVERY (pad-shape, bucket) jit combination the set will hit —
+    # a partial warm-up leaves 20-40 s compiles inside the measurement
+    extractor.track_logits(paths, verbose=False)
     t0 = time.perf_counter()
     out = extractor.track_logits(paths, verbose=False)
     sec = time.perf_counter() - t0

@@ -107,6 +107,21 @@ def float_to_pcm16(samples: np.ndarray) -> np.ndarray:
     return np.clip(np.round(samples * 32768.0), -32768, 32767).astype(np.int16)
 
 
+def pack_pcm16(waves: np.ndarray) -> np.ndarray:
+    """[B, N] float waveforms -> int16 device feed (half the bytes).
+
+    Augmented/resampled waveforms can exceed [-1, 1]; hard clipping would
+    flat-top them, so rows are peak-normalised DOWN only (divisor >= 1).
+    The scaling is EXACTLY neutral downstream: the spectrogram is linear
+    in the waveform and the per-freq-bin instance norm divides any
+    per-row scale back out. The single definition here keeps the
+    training feed (data/emovox.py) and the extraction feed
+    (exp/compute_audio_feats.py) locked together.
+    """
+    peak = np.maximum(np.abs(waves).max(axis=1, keepdims=True), 1.0)
+    return float_to_pcm16(waves / peak)
+
+
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     """PCM16 wav writer (for synthetic fixtures and sample_audio exports)."""
     payload = float_to_pcm16(samples).astype("<i2").tobytes()

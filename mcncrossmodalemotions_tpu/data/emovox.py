@@ -226,15 +226,9 @@ class EmoVoxBatcher:
     def _pack_waves(self, waves: np.ndarray) -> np.ndarray:
         if not self.cfg.emit_int16:
             return waves
-        from mcncrossmodalemotions_tpu.data.audio import float_to_pcm16
+        from mcncrossmodalemotions_tpu.data.audio import pack_pcm16
 
-        # Augmented waveforms (noise mix, resample overshoot) can exceed
-        # [-1, 1]; hard clipping would flat-top them. Per-sample peak
-        # normalisation is EXACTLY neutral downstream: the spectrogram is
-        # linear in the waveform and the per-freq-bin instance norm
-        # divides any global scale back out.
-        peak = np.maximum(np.abs(waves).max(axis=1, keepdims=True), 1.0)
-        return float_to_pcm16(waves / peak)
+        return pack_pcm16(waves)
 
     def _native_batch(self, chunk, rng, wav_root: Path) -> Dict[str, np.ndarray]:
         """Threaded C++ fast path: batched segment reads (no host resample

@@ -151,8 +151,14 @@ def _emovox_from_mat_scipy(path, wav_dir, frame_dir, with_frames) -> EmoVoxImdb:
     speakers = np.asarray([str(s) for s in np.atleast_1d(images.sp)],
                           dtype=object)
     set_id = np.asarray(np.atleast_1d(images.set), np.int32)
-    wav_logits = [np.atleast_2d(np.asarray(l, np.float32))
-                  for l in np.atleast_1d(mat["wavLogits"])]
+    wl = mat["wavLogits"]
+    if isinstance(wl, np.ndarray) and wl.dtype != object:
+        # squeeze_me collapses a 1-cell wavLogits to the bare [F, 8]
+        # array; iterating that would yield F per-row "tracks"
+        cells = [np.asarray(wl)]
+    else:
+        cells = list(np.atleast_1d(wl))
+    wav_logits = [np.atleast_2d(np.asarray(l, np.float32)) for l in cells]
     dense = None
     if with_frames and hasattr(images, "denseFrames"):
         dense = _group_dense_frames(

@@ -213,12 +213,10 @@ class AudioFeatureExtractor:
                     np.asarray([c[2][0] for c in chunk], np.int32))
                 if self.emit_int16:
                     from mcncrossmodalemotions_tpu.data.audio import (
-                        float_to_pcm16,
+                        pack_pcm16,
                     )
 
-                    peak = np.maximum(
-                        np.abs(waves).max(axis=1, keepdims=True), 1.0)
-                    waves = float_to_pcm16(waves / peak)
+                    waves = pack_pcm16(waves)
                 jwaves = jnp.asarray(waves)
                 if use_pallas:
                     from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import (

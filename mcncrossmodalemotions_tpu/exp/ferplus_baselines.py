@@ -69,7 +69,9 @@ class FerPlusConfig:
         # (ferplus_baselines.m:297-309).
         identity = (self.model, self.loss_type, self.num_classes,
                     self.dropout, self.augment, self.input_size,
-                    self.seed, self.tiny_model, self.dev, self.finetune_lr)
+                    self.seed, self.tiny_model, self.dev, self.finetune_lr,
+                    self.pretrained_mat)  # fine-tune-from-release runs
+                    # must not share (and resume from) a scratch run's dir
         return f"ferplus-{self.model}-{self.loss_type}-{config_hash(identity)}"
 
 
@@ -207,10 +209,6 @@ def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
     """
     results = {}
     for model_name, loss_type in models:
-        cache = (Path(cache_dir) / f"{model_name}.json") if cache_dir else None
-        if cache and cache.exists():
-            results[model_name] = json.loads(cache.read_text())
-            continue
         mat = (pretrained_mats or {}).get(model_name)
         if base_cfg is not None:
             cfg = dataclasses.replace(base_cfg, model=model_name,
@@ -221,6 +219,14 @@ def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
             cfg = FerPlusConfig(model=model_name, loss_type=loss_type,
                                 out_root=out_root, tiny_model=tiny_model,
                                 pretrained_mat=mat)
+        # cache keyed by the full eval configuration (exp_name carries the
+        # config hash) — a rerun with different weights/input size must
+        # re-evaluate, not report the stale numbers
+        cache = (Path(cache_dir) / f"{cfg.exp_name()}.json") if cache_dir \
+            else None
+        if cache and cache.exists():
+            results[model_name] = json.loads(cache.read_text())
+            continue
         row = {}
         for subset in ("val", "test"):
             _, stats = ferplus_baselines(cfg, imdb, evaluate_only=subset)

@@ -114,12 +114,16 @@ def main(argv=None):
                    help="path to fer2013new.csv (FERPlus votes)")
     p.add_argument("--out-root", default="exps/reproduce-ferplus")
     p.add_argument("--tolerance", type=float, default=DEFAULT_TOLERANCE)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--input-size", type=int, default=224)
     p.add_argument("--no-download", action="store_true")
     args = p.parse_args(argv)
     report = reproduce_ferplus(args.fer_csv, args.ferplus_csv,
                                out_root=args.out_root,
                                tolerance=args.tolerance,
-                               download=not args.no_download)
+                               download=not args.no_download,
+                               batch_size=args.batch_size,
+                               input_size=args.input_size)
     return 0 if report["pass"] else 1
 
 

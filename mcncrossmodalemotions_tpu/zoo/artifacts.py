@@ -90,22 +90,37 @@ def _file_sha256(path: Path) -> str:
     return h.hexdigest()
 
 
-def _verify(path: Path, expected: Optional[str]) -> None:
+def _verify(path: Path, expected: Optional[str],
+            full_check: bool = False) -> None:
+    """Pin/verify the artifact's sha256 (+ size) via a sidecar file.
+
+    Hashing a multi-GB release on EVERY cache hit would cost seconds per
+    call, so repeat hits take a size-only fast path against the pinned
+    sidecar; ``full_check`` (and any size change) forces a re-hash.
+    """
     sidecar = path.with_suffix(path.suffix + ".sha256")
-    digest = _file_sha256(path)
-    if expected is not None and digest != expected:
-        raise ArtifactUnavailable(
-            f"{path}: sha256 mismatch (got {digest}, expected {expected}) — "
-            "delete the file to re-download")
+    size = path.stat().st_size
     if sidecar.exists():
-        pinned = sidecar.read_text().strip()
+        parts = sidecar.read_text().split()
+        pinned = parts[0]
+        pinned_size = int(parts[1]) if len(parts) > 1 else None
+        if pinned_size == size and not full_check:
+            return  # fast path: size matches the pinned record
+        digest = _file_sha256(path)
         if digest != pinned:
             raise ArtifactUnavailable(
                 f"{path}: sha256 changed since first download "
                 f"(got {digest}, pinned {pinned}) — the file is corrupt or "
                 "was replaced; delete both to re-download")
-    else:
-        sidecar.write_text(digest + "\n")
+        if pinned_size is None:  # upgrade a hash-only sidecar
+            sidecar.write_text(f"{digest} {size}\n")
+        return
+    digest = _file_sha256(path)
+    if expected is not None and digest != expected:
+        raise ArtifactUnavailable(
+            f"{path}: sha256 mismatch (got {digest}, expected {expected}) — "
+            "delete the file to re-download")
+    sidecar.write_text(f"{digest} {size}\n")
 
 
 def fetch_artifact(name: str, root: Optional[str | Path] = None,
@@ -128,11 +143,14 @@ def fetch_artifact(name: str, root: Optional[str | Path] = None,
         raise ArtifactUnavailable(
             f"{art.name} not found at {path} and downloads are disabled — "
             f"fetch {art.url} manually and place it there")
+    import http.client
     import urllib.error
     import urllib.request
 
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(path.suffix + ".part")
+    # unique temp name: concurrent downloaders must not interleave writes
+    # into a shared .part and publish a corrupted blend
+    tmp = path.with_suffix(path.suffix + f".part.{os.getpid()}")
     try:
         print(f"downloading {art.name} from {art.url} ...", flush=True)
         with urllib.request.urlopen(art.url, timeout=timeout) as resp, \
@@ -143,7 +161,10 @@ def fetch_artifact(name: str, root: Optional[str | Path] = None,
                     break
                 out.write(chunk)
         tmp.replace(path)  # atomic publish
-    except (urllib.error.URLError, OSError) as exc:
+    except (urllib.error.URLError, http.client.HTTPException,
+            OSError) as exc:
+        # HTTPException covers mid-body failures (IncompleteRead etc.)
+        # so ensure_artifact's graceful-skip contract holds
         tmp.unlink(missing_ok=True)
         raise ArtifactUnavailable(
             f"could not download {art.name} from {art.url}: {exc} — "

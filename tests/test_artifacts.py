@@ -234,3 +234,46 @@ def test_fetch_driver_uses_released_imdb(tmp_path, monkeypatch):
                                   cache_path=str(cache))
     _check_imported(imdb, logits)
     assert cache.exists()  # converted imdb cached as npz
+
+
+def test_emovox_imdb_from_mat_scipy_single_wav(tmp_path):
+    """A 1-track classic .mat: squeeze_me collapses the wavLogits cell to
+    the bare [F, 8] array; the importer must not explode it into F rows."""
+    import scipy.io
+
+    from mcncrossmodalemotions_tpu.data.imdb import emovox_imdb_from_mat
+
+    rng = np.random.RandomState(5)
+    logits = rng.randn(4, 8).astype(np.float32)
+    images = {
+        "name": np.asarray([_NAMES[0]], dtype=object),
+        "sp": np.asarray([_SPEAKERS[0]], dtype=object),
+        "set": np.asarray([1], np.float64),
+    }
+    wav_logits = np.empty(1, dtype=object)
+    wav_logits[0] = logits
+    path = tmp_path / "single.mat"
+    scipy.io.savemat(path, {"images": images, "wavLogits": wav_logits})
+
+    imdb = emovox_imdb_from_mat(path, with_frames=False)
+    assert imdb.num_tracks == 1
+    np.testing.assert_allclose(imdb.wav_logits[0], logits, rtol=1e-6)
+
+
+def test_sidecar_fast_path_and_size_change(tmp_path):
+    """Cache hits take the size fast path; a size change re-hashes and
+    flags the corruption."""
+    path = artifact_path("afew-logits", root=tmp_path)
+    path.parent.mkdir(parents=True)
+    path.write_bytes(b"0123456789")
+    fetch_artifact("afew-logits", root=tmp_path, download=False)
+    sidecar = path.with_suffix(path.suffix + ".sha256")
+    digest, size = sidecar.read_text().split()
+    assert int(size) == 10
+    # same-size tamper passes the fast path (documented tradeoff) but a
+    # full check catches it
+    from mcncrossmodalemotions_tpu.zoo.artifacts import _verify
+    path.write_bytes(b"9876543210")
+    fetch_artifact("afew-logits", root=tmp_path, download=False)  # fast path
+    with pytest.raises(ArtifactUnavailable, match="sha256 changed"):
+        _verify(path, None, full_check=True)
