@@ -258,33 +258,53 @@ bool DecodeJpegFace(const char* path, int out_size, double crop_ratio,
   const int left = (w - cw) / 2;
   const int top = (h - ch) / 2;
 
-  // bilinear resize to out_size x out_size + ITU-R 601 grayscale
+  // ITU-R 601 grayscale FIRST (both grayscale and bilinear resize are
+  // linear, so the order commutes exactly; gray-first does 1/3 of the
+  // interpolation work), restricted to the crop region.
+  std::vector<float> gray(static_cast<size_t>(cw) * ch);
+  for (int y = 0; y < ch; ++y) {
+    const unsigned char* src = rgb.data() + (size_t(top + y) * w + left) * 3;
+    float* dst = gray.data() + size_t(y) * cw;
+    for (int x = 0; x < cw; ++x) {
+      dst[x] = 0.2989f * src[3 * x] + 0.5870f * src[3 * x + 1] +
+               0.1140f * src[3 * x + 2];
+    }
+  }
+
+  // separable align-corners bilinear: rows first (ch x out_size), then
+  // columns, with the tap positions/weights precomputed per axis
   const double sx = cw > 1 ? double(cw - 1) / (out_size - 1) : 0.0;
   const double sy = ch > 1 ? double(ch - 1) / (out_size - 1) : 0.0;
+  std::vector<int> x0(out_size), x1(out_size), y0(out_size), y1(out_size);
+  std::vector<float> wx(out_size), wy(out_size);
+  for (int o = 0; o < out_size; ++o) {
+    const double fx = o * sx;
+    x0[o] = static_cast<int>(fx);
+    x1[o] = std::min(x0[o] + 1, cw - 1);
+    wx[o] = static_cast<float>(fx - x0[o]);
+    const double fy = o * sy;
+    y0[o] = static_cast<int>(fy);
+    y1[o] = std::min(y0[o] + 1, ch - 1);
+    wy[o] = static_cast<float>(fy - y0[o]);
+  }
+  std::vector<float> rows(static_cast<size_t>(ch) * out_size);
+  for (int y = 0; y < ch; ++y) {
+    const float* src = gray.data() + size_t(y) * cw;
+    float* dst = rows.data() + size_t(y) * out_size;
+    for (int o = 0; o < out_size; ++o) {
+      dst[o] = src[x0[o]] * (1.0f - wx[o]) + src[x1[o]] * wx[o];
+    }
+  }
   for (int oy = 0; oy < out_size; ++oy) {
-    const double fy = oy * sy;
-    const int y0 = static_cast<int>(fy);
-    const int y1 = std::min(y0 + 1, ch - 1);
-    const double wy = fy - y0;
+    const float* r0 = rows.data() + size_t(y0[oy]) * out_size;
+    const float* r1 = rows.data() + size_t(y1[oy]) * out_size;
+    const float w1 = wy[oy];
+    const float w0 = 1.0f - w1;
+    unsigned char* dst = out + size_t(oy) * out_size;
     for (int ox = 0; ox < out_size; ++ox) {
-      const double fx = ox * sx;
-      const int x0 = static_cast<int>(fx);
-      const int x1 = std::min(x0 + 1, cw - 1);
-      const double wx = fx - x0;
-      double gray = 0.0;
-      static const double kCoef[3] = {0.2989, 0.5870, 0.1140};
-      for (int c = 0; c < 3; ++c) {
-        const double v00 = rgb[(size_t(top + y0) * w + left + x0) * 3 + c];
-        const double v01 = rgb[(size_t(top + y0) * w + left + x1) * 3 + c];
-        const double v10 = rgb[(size_t(top + y1) * w + left + x0) * 3 + c];
-        const double v11 = rgb[(size_t(top + y1) * w + left + x1) * 3 + c];
-        const double interp = v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
-                              v10 * (1 - wx) * wy + v11 * wx * wy;
-        gray += kCoef[c] * interp;
-      }
-      const long rounded = std::lround(gray);
-      out[size_t(oy) * out_size + ox] =
-          static_cast<unsigned char>(std::clamp<long>(rounded, 0, 255));
+      const float v = r0[ox] * w0 + r1[ox] * w1;
+      const long rounded = std::lround(v);
+      dst[ox] = static_cast<unsigned char>(std::clamp<long>(rounded, 0, 255));
     }
   }
   return true;
