@@ -179,10 +179,46 @@ def test_student_stats_on_synthetic(emovox_imdb, tmp_path):
 def test_teacher_stats_histogram(emovox_imdb, tmp_path):
     from mcncrossmodalemotions_tpu.exp.teacher_stats import teacher_stats
 
+    # reference semantics: per-FRAME argmax (vertcat(wavLogits{:}),
+    # teacher_stats.m:28-29) — counts sum to the total frame count
     hists = teacher_stats(emovox_imdb,
                           fig_path=str(tmp_path / "hist.pdf"))
-    assert hists["emovoxceleb"].sum() == emovox_imdb.num_tracks
+    total_frames = sum(len(l) for l in emovox_imdb.wav_logits)
+    assert hists["emovoxceleb"].sum() == total_frames
     assert (tmp_path / "hist.pdf").exists()
+    # per-wav variant
+    hists_wav = teacher_stats(emovox_imdb, per="wav")
+    assert hists_wav["emovoxceleb"].sum() == emovox_imdb.num_tracks
+
+
+def test_teacher_stats_afew_comparison_from_artifact(emovox_imdb, tmp_path,
+                                                     monkeypatch):
+    """Released afew-logits.mat resolves through the artifact registry
+    and loads as faceLogits cells (teacher_stats.m:39-42,85-121)."""
+    import scipy.io
+
+    from mcncrossmodalemotions_tpu.exp.teacher_stats import (
+        load_face_logits_mat,
+        teacher_stats,
+    )
+    from mcncrossmodalemotions_tpu.zoo.artifacts import artifact_path
+
+    rng = np.random.RandomState(0)
+    logits = [rng.randn(3, 8).astype(np.float32),
+              rng.randn(2, 8).astype(np.float32)]
+    cell = np.empty(2, dtype=object)
+    for i, l in enumerate(logits):
+        cell[i] = l
+    path = artifact_path("afew-logits", root=tmp_path)
+    path.parent.mkdir(parents=True)
+    scipy.io.savemat(path, {"faceLogits": cell})
+    monkeypatch.setenv("MCN_TPU_ARTIFACT_ROOT", str(tmp_path))
+
+    loaded = load_face_logits_mat(path)
+    assert len(loaded) == 2 and loaded[0].shape == (3, 8)
+    hists = teacher_stats(emovox_imdb, download_afew=True)
+    assert "AFEW 6.0" in hists
+    assert hists["AFEW 6.0"].sum() == 5  # 3 + 2 frames
 
 
 def test_sample_audio(emovox_imdb, tmp_path):
