@@ -1,45 +1,41 @@
-"""Fused Pallas max-pool backward for overlapping 3x3/stride-2 pools.
+"""Pallas max-pool kernels for the student's overlapping 3x3/stride-2 pools.
 
-The student's mpool1/mpool2 (VGGVox stack, models/vggm.py) dominate the
-train step's backward: XLA lowers max-pool gradients to SelectAndScatter,
-which measured ~2x off the memory roofline on v5e ([128,253,197,96]
-bf16: 10.8 ms fwd+bwd standalone), and every jnp-level reformulation
-loses to it outright because the stride-2 regridding becomes whole-array
-relayouts (docs/PERF.md section "optimisations attempted"). This kernel
-does the regridding inside VMEM tiles instead:
+The VGGVox stack's mpool1/mpool2 (models/vggm.py) are the train step's
+biggest non-MXU cost. Profiling on v5e (tools/profile_train_step.py,
+docs/PERF.md) decomposes XLA's lowering at the pool1 shape
+([128, 253, 197, 96] bf16):
 
-    grad[i, w] = sum over the <=2x2 candidate windows (a, j) containing
-    (i, w) of  (x[i, w] == y[a, j]) * dy[a, j]
+    reduce_window (forward)      5.2 ms   vs ~1.9 ms memory roofline
+    SelectAndScatter (backward)  3.3 ms   ~at its ~3.4 ms roofline
 
-For window 3 / stride 2 the candidates along one axis are
-``a = i//2 - k, k in {0, 1}``, the k=1 candidate valid only for even
-``i``. The grid tiles H only; each step gets the x/grad tile plus TWO
-(y, dy) blocks — the tile's own rows and the preceding block whose last
-row is the k=1 halo — so everything is BlockSpec-managed (manual HBM
-DMA slices would need 8-sublane/128-lane aligned sizes, which Wout=98 /
-C=96 are not). Candidate rows come from outer-dim element repeats and
-candidate columns from one sublane ``jnp.repeat`` per term; out-of-range
-candidates are neutralised by -inf halo padding on y (``x == -inf`` is
-never true) rather than masks.
+so — contrary to the usual TPU folklore that the *backward* is the
+problem — the win here is a roofline FORWARD kernel, while the backward
+stays on XLA's already-optimal SelectAndScatter.
 
-Tie semantics: gradient flows to EVERY element equal to the window max
-(SelectAndScatter picks one winner). Bitwise ties in bf16 activations
-are rare and typically dead ReLU zeros whose gradient the ReLU backward
-drops anyway.
+Forward kernel strategy (``_fwd_kernel``): everything is expressed in
+the few vector shapes Mosaic lowers well (tools/probe_mosaic*.py):
 
-Forward stays ``lax.reduce_window`` (already at roofline).
+- rows (outer dim): window-3 max from a [TI, W, C] tile as a
+  pair-reshape ``[TI//2, 2, W, C].max(1)`` plus the shifted even rows,
+  with the one-row halo supplied by the NEXT grid block (clamped at the
+  edge; the rows that would read garbage are exactly the rows Pallas
+  clips from the final partial output block);
+- cols (sublane dim): window-3 max from unit-stride slices plus a
+  ``roll(-2)`` third term (the roll's wrapped lanes land only on odd
+  columns, which the stride-2 downsample discards), then the stride-2
+  selection as a sublane split-reshape ``[TY, We//2, 2, C][:, :, 0]``.
 
-STATUS — experimental, interpret-validated, NOT wired into the models:
-on the current Mosaic compiler the column-candidate expansion
-(``jnp.repeat`` along the sublane axis) fails to lower ("unsupported
-shape cast vector<TxWxC> -> vector<TxWx1xC>"), and the two workarounds
-both dead-end: strided sublane slices of 3-D tiles raise "Only 2D
-gather is supported", and hoisting the W-expansion into XLA adds enough
-HBM traffic (~2.4 GB for the expanded y/dy reads) that the kernel can
-at best TIE SelectAndScatter's 8.7 ms on the pool1 shape (memory
-roofline ~5.5 ms). Full accounting in docs/PERF.md. The kernel is kept
-(a) as the ready-to-enable implementation if Mosaic grows sublane
-interleaves and (b) exercised by tests in interpret mode.
+No sublane interleave / strided slice / gather is needed — those are
+the operations Mosaic cannot lower efficiently (or at all): an earlier
+backward kernel built on sublane ``jnp.repeat`` compiled but ran 8x
+slower than SelectAndScatter (75.9 ms; see docs/PERF.md round-3 notes).
+
+Backward: ``jax.vjp`` of the reference ``reduce_window`` — the unused
+forward recomputation is dead-code-eliminated by XLA, leaving the bare
+SelectAndScatter, which re-derives the max selection from (x, dy) alone.
+
+Tie semantics therefore stay EXACTLY XLA's (one winner per window), and
+the forward is bit-identical to ``reduce_window`` (same max tree).
 """
 
 from __future__ import annotations
@@ -54,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 WINDOW = 3
 STRIDE = 2
-_TI = 32          # input rows per grid step
-_TY = _TI // 2    # y rows per grid step
+_TI = 16          # input rows per forward grid step (even)
+_TY = _TI // 2    # output rows per forward grid step
+_VMEM_LIMIT = 100 * 1024 * 1024  # pool1 whole-image tiles stack ~80 MB
 
 
 def _pool_fwd_raw(x: jax.Array) -> jax.Array:
@@ -64,100 +61,84 @@ def _pool_fwd_raw(x: jax.Array) -> jax.Array:
         (1, WINDOW, WINDOW, 1), (1, STRIDE, STRIDE, 1), "VALID")
 
 
-def _bwd_kernel(x_ref, y_ref, yp_ref, dy_ref, dyp_ref, grad_ref):
-    """grad rows [i0, i0+TI) of one image; i0 = 2 * TY * t (even).
+def _fwd_kernel(x_ref, y_ref):
+    """Whole-image tile: y [hout, wout, C] from x [H, W, C]."""
+    x = x_ref[0]                       # [H, W, C]
+    h, w, c = x.shape
+    hout = (h - WINDOW) // STRIDE + 1
+    wout = (w - WINDOW) // STRIDE + 1
+    he, we = 2 * hout, 2 * wout        # even working extents (<= h-1, w-1)
 
-    x_ref/grad_ref: [1, TI, W, C]. y_ref/dy_ref: this tile's window rows
-    (global a in [i0/2, i0/2+TY)); yp_ref/dyp_ref: the PRECEDING block
-    (its last row is the k=1 candidate for the tile's first row pair).
-    """
-    x = x_ref[0]                      # [TI, W, C]
-    ti, w, c = x.shape
-    ws = (w + 1) // 2 + 1             # candidate columns incl. halo
-    row_par = (jax.lax.broadcasted_iota(jnp.int32, (ti, 1, 1), 0) % 2) == 0
-    col_par = (jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1) % 2) == 0
+    # rows (outer dim): max(x[2a], x[2a+1], x[2a+2])
+    pairs = x[:he].reshape(hout, 2, w, c)
+    pairmax = jnp.maximum(pairs[:, 0], pairs[:, 1])
+    third = jnp.concatenate([pairs[1:, 0], x[he:he + 1]], axis=0)
+    m3r = jnp.maximum(pairmax, third)  # [hout, w, c]
 
-    y_cur, dy_cur = y_ref[0], dy_ref[0]          # [TY, Wp, C]
-    # k1=1 candidate rows: [prev block's last row, y_cur[:-1]]
-    y_shift = jnp.concatenate([yp_ref[0, -1:], y_cur[:-1]], axis=0)
-    dy_shift = jnp.concatenate([dyp_ref[0, -1:], dy_cur[:-1]], axis=0)
-
-    grad = jnp.zeros_like(x)
-    for k1, (yk, dyk) in enumerate(((y_cur, dy_cur), (y_shift, dy_shift))):
-        yk1 = jnp.repeat(yk, 2, axis=0)          # row r <- window r//2 - k1
-        dyk1 = jnp.repeat(dyk, 2, axis=0)
-        for k2 in (0, 1):             # candidate window col j = w//2 - k2
-            ycols = yk1[:, 1 - k2:1 - k2 + ws]
-            dycols = dyk1[:, 1 - k2:1 - k2 + ws]
-            ycand = jnp.repeat(ycols, 2, axis=1)[:, :w]    # sublane
-            dycand = jnp.repeat(dycols, 2, axis=1)[:, :w]
-            mask = x == ycand          # -inf halo: never matches real x
-            if k1:
-                mask = jnp.logical_and(mask, row_par)
-            if k2:
-                mask = jnp.logical_and(mask, col_par)
-            grad = grad + jnp.where(mask, dycand, jnp.zeros_like(dycand))
-    grad_ref[0] = grad
+    # cols (sublane dim): window-3 max then stride-2 selection. The
+    # roll's wrapped values land only on odd working columns, which
+    # the [:, :, 0] selection discards.
+    m3 = jnp.maximum(
+        jnp.maximum(m3r[:, :we], m3r[:, 1:we + 1]),
+        jnp.roll(m3r, -2, axis=1)[:, :we])
+    y_ref[0] = m3.reshape(hout, wout, 2, c)[:, :, 0]
 
 
-def _pool_bwd_pallas(x: jax.Array, y: jax.Array, dy: jax.Array,
-                     interpret: bool = False) -> jax.Array:
+def _pool_fwd_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     bsz, h, w, c = x.shape
-    hout, wout = y.shape[1], y.shape[2]
-    n_tiles = -(-h // _TI)
-    # halo layout (H): one leading block of -inf rows so block index t
-    # covers window rows [t*TY - TY, t*TY) — the kernel reads blocks t+1
-    # (own rows) and t (preceding); tail -inf rows make block n_tiles+1
-    # addressable. W: one leading -inf column for the k2=1 candidates.
-    ph = (n_tiles + 1) * _TY - hout
-    pw = max(((w + 1) // 2 + 2) - (wout + 1), 2)
-    neg = jnp.asarray(-jnp.inf, y.dtype)
-    yp = jnp.pad(y, ((0, 0), (_TY, ph), (1, pw), (0, 0)),
-                 constant_values=neg)
-    dyp = jnp.pad(dy, ((0, 0), (_TY, ph), (1, pw), (0, 0)))
-    wp = yp.shape[2]
-
-    y_spec_cur = pl.BlockSpec((1, _TY, wp, c), lambda b, t: (b, t + 1, 0, 0),
-                              memory_space=pltpu.VMEM)
-    y_spec_prev = pl.BlockSpec((1, _TY, wp, c), lambda b, t: (b, t, 0, 0),
-                               memory_space=pltpu.VMEM)
+    hout = (h - WINDOW) // STRIDE + 1
+    wout = (w - WINDOW) // STRIDE + 1
     return pl.pallas_call(
-        _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(bsz, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, _TI, w, c), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            y_spec_cur, y_spec_prev,
-            y_spec_cur, y_spec_prev,
-        ],
-        out_specs=pl.BlockSpec((1, _TI, w, c), lambda b, t: (b, t, 0, 0),
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, hout, wout, c), x.dtype),
+        grid=(bsz,),
+        in_specs=[pl.BlockSpec((1, h, w, c), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, hout, wout, c), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, yp, yp, dyp, dyp)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(x)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def max_pool_3x3s2(x: jax.Array, interpret: bool | None = None) -> jax.Array:
-    """3x3/stride-2 VALID max pool with the Pallas backward.
+    """3x3/stride-2 VALID max pool: Pallas forward, XLA S&S backward.
 
     Drop-in for ``nn.max_pool(x, (3, 3), strides=(2, 2), padding='VALID')``
-    with a faster TPU gradient. ``interpret=None`` auto-selects interpret
-    mode off-TPU (CPU tests).
+    (bit-identical forward, identical tie semantics in the gradient).
+    ``interpret=None`` auto-selects interpret mode off-TPU (CPU tests).
     """
-    return _pool_fwd_raw(x)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pool_fwd_pallas(x, interpret=interpret)
 
 
 def _fwd(x, interpret):
-    y = _pool_fwd_raw(x)
-    return y, (x, y)
-
-
-def _bwd(interpret, res, dy):
-    x, y = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return (_pool_bwd_pallas(x, y, dy.astype(x.dtype), interpret=interpret),)
+    return _pool_fwd_pallas(x, interpret=interpret), x
+
+
+def _sas_grad(x: jax.Array, dy: jax.Array) -> jax.Array:
+    """XLA SelectAndScatterAdd gradient (re-derives the max selection
+    from x and dy alone; one winner per window, XLA tie semantics)."""
+    try:
+        from jax._src.lax.windowed_reductions import (
+            _select_and_scatter_add,
+        )
+
+        return _select_and_scatter_add(
+            dy, x, jax.lax.ge_p, (1, WINDOW, WINDOW, 1),
+            (1, STRIDE, STRIDE, 1), ((0, 0),) * 4)
+    except ImportError:  # private API moved: fall back to jax.vjp
+        # (the unused forward recomputation is DCE'd by XLA)
+        return jax.vjp(_pool_fwd_raw, x)[1](dy)[0]
+
+
+def _bwd(interpret, x, dy):
+    return (_sas_grad(x, dy.astype(x.dtype)),)
 
 
 max_pool_3x3s2.defvjp(_fwd, _bwd)

@@ -1,8 +1,11 @@
-"""Experimental Pallas max-pool backward: interpret-mode parity.
+"""Pallas max-pool forward + S&S backward: numerics parity.
 
-The kernel is not wired into the models (Mosaic lowering gap for
-sublane interleaves — see ops/pallas_pool.py STATUS note); these tests
-pin its numerics so it stays ready to enable.
+The kernel is bit-exact vs reduce_window but measured slower than
+XLA's lowering on v5e (docs/PERF.md round-3 study), so the models keep
+nn.max_pool; these tests pin its numerics so it stays ready to wire if
+a Mosaic upgrade changes the economics. The oracle comparison uses
+continuous inputs (measure-zero ties), where distribute-to-ties and
+XLA's one-winner semantics coincide.
 """
 
 import numpy as np
