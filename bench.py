@@ -147,7 +147,10 @@ def bench_train_step(details: dict):
 
 def bench_end_to_end_epoch(details: dict):
     """One epoch over a synthetic ON-DISK imdb: native threaded loader +
-    int16 feed + double-buffered prefetch + train step (utts/s incl. host)."""
+    compact feed + double-buffered prefetch + train step (utts/s incl.
+    host). Measured for both feed formats: int16 PCM (default, lossless)
+    and the opt-in mu-law uint8 (half the feed bytes again — the lever
+    when the host link, not compute, binds)."""
     import tempfile
 
     from mcncrossmodalemotions_tpu.data.emovox import (
@@ -162,23 +165,29 @@ def bench_end_to_end_epoch(details: dict):
     imdb = build_synthetic_imdb(root / "wavs", num_speakers=8,
                                 tracks_per_speaker=32,
                                 duration_range=(4.2, 6.0))
-    cfg = BatchConfig(batch_size=64)
-    batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=0)
-    model = build_student("emovoxceleb-student")
-    trainer = Trainer(
-        model, student_loss_fn("hot-cross-ent", temperature=2.0),
-        TrainConfig(num_epochs=2, learning_rate=1e-4, weight_decay=0.0,
-                    log_every=10_000, resume=False,
-                    exp_dir=str(root / "exp")))
-    example = next(iter(batcher.batches(epoch=1, epoch_size=cfg.batch_size)))
-    state = trainer.init_state(example)
-    # epoch 1 warms the compile; epoch 2 is the measurement
-    state, _ = trainer.run_epoch(state, batcher.batches(epoch=1), 1, True)
-    state, stats = trainer.run_epoch(state, batcher.batches(epoch=2), 2, True)
-    details["end_to_end_epoch_utts_per_sec"] = round(
-        stats["samples_per_sec"], 2)
-    details["end_to_end_epoch_samples"] = stats["num_samples"]
-    return stats["samples_per_sec"]
+    out = None
+    for tag, kw in (("", {}), ("_mulaw8", {"emit_mulaw": True})):
+        cfg = BatchConfig(batch_size=64, **kw)
+        batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=0)
+        model = build_student("emovoxceleb-student")
+        trainer = Trainer(
+            model, student_loss_fn("hot-cross-ent", temperature=2.0),
+            TrainConfig(num_epochs=2, learning_rate=1e-4, weight_decay=0.0,
+                        log_every=10_000, resume=False,
+                        exp_dir=str(root / f"exp{tag}")))
+        example = next(iter(
+            batcher.batches(epoch=1, epoch_size=cfg.batch_size)))
+        state = trainer.init_state(example)
+        # epoch 1 warms the compile; epoch 2 is the measurement
+        state, _ = trainer.run_epoch(state, batcher.batches(epoch=1), 1, True)
+        state, stats = trainer.run_epoch(state, batcher.batches(epoch=2), 2,
+                                         True)
+        details[f"end_to_end_epoch_utts_per_sec{tag}"] = round(
+            stats["samples_per_sec"], 2)
+        details["end_to_end_epoch_samples"] = stats["num_samples"]
+        if out is None:
+            out = stats["samples_per_sec"]
+    return out
 
 
 def bench_teacher(details: dict):

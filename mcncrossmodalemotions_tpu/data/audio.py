@@ -122,6 +122,33 @@ def pack_pcm16(waves: np.ndarray) -> np.ndarray:
     return float_to_pcm16(waves / peak)
 
 
+MULAW_MU = 255.0
+
+
+def pack_mulaw8(waves: np.ndarray) -> np.ndarray:
+    """[B, N] float waveforms -> uint8 mu-law device feed (quarter the
+    float32 bytes, half the int16 feed).
+
+    Standard mu=255 companding over peak-normalised rows (same
+    down-only normalisation as ``pack_pcm16`` — exactly neutral after
+    the frontend's per-row instance norm), then symmetric 8-bit
+    quantisation of the companded value. ~38 dB SNR on speech: an
+    OPT-IN trade for link-bound hosts (the training engine's feed is
+    the throughput ceiling when host->device bandwidth, not compute,
+    binds). Decoded on device by ops/spectrogram.decode_pcm — uint8
+    input IS the mu-law contract.
+
+    Caveat (pinned by tests/test_feed_formats.py): the quantisation
+    noise floor dominates spectrally EMPTY frequency bins, which the
+    per-bin instance norm then amplifies to unit variance — use only
+    for broadband signals (speech); narrowband features decorrelate.
+    """
+    peak = np.maximum(np.abs(waves).max(axis=1, keepdims=True), 1.0)
+    x = np.asarray(waves / peak, np.float32)
+    y = np.sign(x) * np.log1p(MULAW_MU * np.abs(x)) / np.log1p(MULAW_MU)
+    return np.clip(np.round((y + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     """PCM16 wav writer (for synthetic fixtures and sample_audio exports)."""
     payload = float_to_pcm16(samples).astype("<i2").tobytes()

@@ -56,6 +56,9 @@ class BatchConfig:
     emit_int16: bool = True    # ship PCM16 crops (half the feed bytes;
                                # lossless for 16-bit sources, requantised
                                # only after speed/noise augmentation)
+    emit_mulaw: bool = False   # ship mu-law uint8 crops instead (quarter
+                               # the bytes, ~38 dB SNR) — opt-in for
+                               # link-bound hosts; overrides emit_int16
     spec: SpecConfig = DEFAULT_SPEC
 
     @property
@@ -224,6 +227,10 @@ class EmoVoxBatcher:
         return batch
 
     def _pack_waves(self, waves: np.ndarray) -> np.ndarray:
+        if self.cfg.emit_mulaw:
+            from mcncrossmodalemotions_tpu.data.audio import pack_mulaw8
+
+            return pack_mulaw8(waves)
         if not self.cfg.emit_int16:
             return waves
         from mcncrossmodalemotions_tpu.data.audio import pack_pcm16

@@ -106,6 +106,9 @@ class AudioFeatureExtractor:
     # normalisation is exactly neutral: the spectrogram is linear in the
     # waveform and instance norm divides any per-track scale back out.
     emit_int16: bool = True
+    # Quarter-bandwidth mu-law uint8 feed (data/audio.pack_mulaw8);
+    # opt-in — ~38 dB SNR shifts extracted logits slightly.
+    emit_mulaw: bool = False
 
     # -- host side ----------------------------------------------------------
     def _meta(self, path: str):
@@ -211,7 +214,13 @@ class AudioFeatureExtractor:
                     joins.append(self._submit_chunk(pool, nxt[2], nxt[0]))
                 valid = jnp.asarray(
                     np.asarray([c[2][0] for c in chunk], np.int32))
-                if self.emit_int16:
+                if self.emit_mulaw:
+                    from mcncrossmodalemotions_tpu.data.audio import (
+                        pack_mulaw8,
+                    )
+
+                    waves = pack_mulaw8(waves)
+                elif self.emit_int16:
                     from mcncrossmodalemotions_tpu.data.audio import (
                         pack_pcm16,
                     )

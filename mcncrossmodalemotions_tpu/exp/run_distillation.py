@@ -68,6 +68,9 @@ class DistillationConfig:
     online_teacher: bool = False
     frames_per_crop: int = 4
     frame_size: int = 224
+    # Quarter-bandwidth mu-law uint8 waveform feed (data/audio.pack_mulaw8,
+    # decoded on device) — opt-in for link-bound hosts; ~38 dB SNR.
+    mulaw_feed: bool = False
 
     def exp_name(self) -> str:
         """Experiment identity encoding (run_distillation.m:95-105) + hash.
@@ -157,6 +160,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         num_pred_emotions=cfg.num_pred_emotions,
         frames_per_crop=cfg.frames_per_crop if cfg.online_teacher else 0,
         frame_size=cfg.frame_size,
+        emit_mulaw=cfg.mulaw_feed,
     )
     train_batcher = EmoVoxBatcher(train_imdb, bcfg, train=True, seed=cfg.seed)
     val_batcher = EmoVoxBatcher(val_imdb, bcfg, train=False, seed=cfg.seed)

@@ -118,12 +118,20 @@ def dft_matrices(win_length: int, nfft: int, windowed: bool = True):
 
 
 def decode_pcm(x: jax.Array) -> jax.Array:
-    """Accept int16 PCM waveforms (the batchers' compact feed format) and
-    dequantise on device with the audioread convention; floats pass
+    """Decode the batchers' compact feed formats on device; floats pass
     through. Lives at the frontend entry so EVERY spectrogram consumer
-    honours the int16 batch contract."""
+    honours the feed contracts:
+
+    - int16: PCM16, dequantised with the audioread convention;
+    - uint8: mu-law (mu=255) companded rows (data/audio.pack_mulaw8) —
+      the quarter-bandwidth opt-in feed for link-bound hosts.
+    """
     if x.dtype == jnp.int16:
         return x.astype(jnp.float32) / 32768.0
+    if x.dtype == jnp.uint8:
+        mu = 255.0
+        y = x.astype(jnp.float32) / 127.5 - 1.0
+        return jnp.sign(y) * jnp.expm1(jnp.abs(y) * np.log1p(mu)) / mu
     return x
 
 
