@@ -184,7 +184,7 @@ def bench_end_to_end_epoch(details: dict):
                                          True)
         details[f"end_to_end_epoch_utts_per_sec{tag}"] = round(
             stats["samples_per_sec"], 2)
-        details["end_to_end_epoch_samples"] = stats["num_samples"]
+        details[f"end_to_end_epoch_samples{tag}"] = stats["num_samples"]
         if out is None:
             out = stats["samples_per_sec"]
     return out

@@ -91,6 +91,12 @@ class DistillationConfig:
                     self.dropout, self.seed, self.tiny_model,
                     self.online_teacher, self.lr_start_exp,
                     self.lr_stop_exp, self.weight_decay)
+        if self.mulaw_feed:
+            # The lossy mu-law feed (~38 dB SNR) changes the input
+            # numerics, so it IS identity-defining — a mu-law run must
+            # not silently resume an int16 run's checkpoints. Appended
+            # only when set so default-feed hashes stay stable.
+            identity += ("mulaw8",)
         suffix = "-online" if self.online_teacher else ""
         return f"{base}{suffix}-{config_hash(identity)}"
 

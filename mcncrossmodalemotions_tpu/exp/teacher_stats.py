@@ -76,6 +76,8 @@ def teacher_stats(imdb: EmoVoxImdb,
     artifact registry when no comparison_logits are passed
     (fetchLogitsFromInternet, teacher_stats.m:85-121).
     """
+    if per not in ("frame", "wav"):
+        raise ValueError(f"per must be 'frame' or 'wav', got {per!r}")
     hist_fn = (frame_prediction_histogram if per == "frame"
                else dominant_prediction_histogram)
     if comparison_logits is None and download_afew:

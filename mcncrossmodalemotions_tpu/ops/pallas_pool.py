@@ -12,14 +12,13 @@ so — contrary to the usual TPU folklore that the *backward* is the
 problem — the win here is a roofline FORWARD kernel, while the backward
 stays on XLA's already-optimal SelectAndScatter.
 
-Forward kernel strategy (``_fwd_kernel``): everything is expressed in
-the few vector shapes Mosaic lowers well (tools/probe_mosaic*.py):
+Forward kernel strategy (``_fwd_kernel``, one whole image per grid
+step — grid=(batch,), no row tiling): everything is expressed in the
+few vector shapes Mosaic lowers well (tools/probe_mosaic*.py):
 
-- rows (outer dim): window-3 max from a [TI, W, C] tile as a
-  pair-reshape ``[TI//2, 2, W, C].max(1)`` plus the shifted even rows,
-  with the one-row halo supplied by the NEXT grid block (clamped at the
-  edge; the rows that would read garbage are exactly the rows Pallas
-  clips from the final partial output block);
+- rows (outer dim): window-3 max over the even working extent as a
+  pair-reshape ``[he//2, 2, W, C].max(1)`` plus the shifted even rows
+  (``he = 2*hout <= h-1``, so the +1/+2 row reads stay in bounds);
 - cols (sublane dim): window-3 max from unit-stride slices plus a
   ``roll(-2)`` third term (the roll's wrapped lanes land only on odd
   columns, which the stride-2 downsample discards), then the stride-2
@@ -50,8 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 WINDOW = 3
 STRIDE = 2
-_TI = 16          # input rows per forward grid step (even)
-_TY = _TI // 2    # output rows per forward grid step
 _VMEM_LIMIT = 100 * 1024 * 1024  # pool1 whole-image tiles stack ~80 MB
 
 

@@ -129,9 +129,13 @@ def decode_pcm(x: jax.Array) -> jax.Array:
     if x.dtype == jnp.int16:
         return x.astype(jnp.float32) / 32768.0
     if x.dtype == jnp.uint8:
-        mu = 255.0
+        # encoder constant shared with data/audio.pack_mulaw8 — the
+        # codec contract lives in one place (numpy-only module, no cycle)
+        from mcncrossmodalemotions_tpu.data.audio import MULAW_MU
+
         y = x.astype(jnp.float32) / 127.5 - 1.0
-        return jnp.sign(y) * jnp.expm1(jnp.abs(y) * np.log1p(mu)) / mu
+        return (jnp.sign(y) * jnp.expm1(jnp.abs(y) * np.log1p(MULAW_MU))
+                / MULAW_MU)
     return x
 
 

@@ -120,5 +120,9 @@ def test_distillation_config_threads_mulaw():
 
     cfg = DistillationConfig(mulaw_feed=True)
     assert cfg.mulaw_feed
-    # identity hash must NOT depend on the feed format (same experiment)
-    assert cfg.exp_name() == DistillationConfig().exp_name()
+    # the LOSSY mu-law feed changes input numerics, so it is
+    # identity-defining: a mu-law run must get its own exp dir and
+    # never silently resume an int16 run's checkpoints
+    assert cfg.exp_name() != DistillationConfig().exp_name()
+    # ...while the lossless int16<->float choice maps to the SAME dir
+    assert DistillationConfig().exp_name() == DistillationConfig().exp_name()
