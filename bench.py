@@ -284,6 +284,49 @@ def bench_fused_online(details: dict):
     details["fused_online_step_ms"] = round(sec * 1000, 2)
 
 
+def bench_dense_inference(details: dict):
+    """Dense teacher inference END TO END from disk (the dataset-genesis
+    workload, fetch_emovoxceleb_imdb.m:119-136 / SURVEY section 3.3):
+    synthetic on-disk JPEGs -> threaded native decode+crop+resize+gray ->
+    double-buffered device feed -> SENet50 forward, imgs/s including the
+    host. Complements teacher_inference_imgs_per_sec (compute-only)."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    from mcncrossmodalemotions_tpu.data.images import save_synthetic_frame
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+    )
+    from mcncrossmodalemotions_tpu.models.teacher_pipeline import (
+        FaceTeacherPipeline,
+    )
+    from mcncrossmodalemotions_tpu.zoo import build_teacher
+
+    root = Path(tempfile.mkdtemp(prefix="bench_dense_"))
+    n_frames = 1280
+    paths = [root / f"frames/{i // 64:03d}/{i % 64:05d}.jpg"
+             for i in range(n_frames)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(
+            lambda a: save_synthetic_frame(a[1], a[0] % 7, size=256,
+                                           seed=a[0]),
+            enumerate(paths)))
+    pipeline = FaceTeacherPipeline(teacher=build_teacher("senet50-ferplus"),
+                                   augment=False)
+    x1 = np.zeros((1, 224, 224, 1), np.uint8)
+    variables = pipeline.init(jax.random.PRNGKey(0), x1)
+    extractor = VisualFeatureExtractor(pipeline, variables, batch_size=128)
+    flat = [str(p) for p in paths]
+    extractor.frame_logits(flat, verbose=False)  # warm compile + page cache
+    t0 = time.perf_counter()
+    logits = extractor.frame_logits(flat, verbose=False)
+    sec = time.perf_counter() - t0
+    assert logits.shape == (n_frames, 8) and np.isfinite(logits).all()
+    details["dense_inference_e2e_imgs_per_sec"] = round(n_frames / sec, 2)
+
+
 def bench_audio_feats(details: dict):
     """Bucketed full-clip student extraction, end to end from disk
     (threaded native reads overlapped with device compute)."""
@@ -367,9 +410,10 @@ def main():
                          ("end_to_end", bench_end_to_end_epoch),
                          ("teacher", bench_teacher),
                          ("fused_online", bench_fused_online),
+                         ("dense_inference", bench_dense_inference),
                          ("audio_feats", bench_audio_feats)):
             if not full and name in ("teacher", "fused_online",
-                                     "audio_feats"):
+                                     "dense_inference", "audio_feats"):
                 continue
             try:
                 _log(f"running {name} sub-benchmark ...")
