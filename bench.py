@@ -421,8 +421,18 @@ def main():
             except Exception as exc:
                 _log(f"{name} sub-benchmark failed: {exc}")
         try:
-            Path("bench_details.json").write_text(
-                json.dumps(details, indent=2) + "\n")
+            # merge-update: a default run must not clobber the --full
+            # sub-benchmark entries (teacher/fused/dense/audio) recorded
+            # by an earlier full run
+            out = Path("bench_details.json")
+            merged = {}
+            if out.exists():
+                try:
+                    merged = json.loads(out.read_text())
+                except ValueError:
+                    merged = {}
+            merged.update(details)
+            out.write_text(json.dumps(merged, indent=2) + "\n")
             _log("details -> bench_details.json: "
                  + json.dumps(details))
         except OSError as exc:

@@ -300,7 +300,22 @@ class Trainer:
         profiling = (train and epoch == 1 and self.cfg.profile_dir)
         if profiling:
             jax.profiler.start_trace(self.cfg.profile_dir)
-        for bsz, device_batch in self._prefetched(batches):
+        # Feed-vs-compute attribution: under async dispatch the host loop
+        # only ever blocks (a) waiting on the prefetch iterator (host
+        # feed not hidden by compute) and (b) in the epoch-end metric
+        # sync (device queue drain). Splitting wall time this way makes
+        # "feed-bound or compute-bound?" a logged fact per epoch instead
+        # of a profiling session.
+        feed_wait = 0.0
+        feed_iter = iter(self._prefetched(batches))
+        while True:
+            t_wait = time.monotonic()
+            try:
+                bsz, device_batch = next(feed_iter)
+            except StopIteration:
+                feed_wait += time.monotonic() - t_wait
+                break
+            feed_wait += time.monotonic() - t_wait
             if train:
                 state, metrics = self._train_step(state, device_batch, lr)
             else:
@@ -330,9 +345,16 @@ class Trainer:
                     )
         if profiling:
             jax.profiler.stop_trace()
+        t_drain = time.monotonic()
         stats = summarize_class_stats(avg.result(), self.class_names)
-        stats["samples_per_sec"] = avg.count / max(time.monotonic() - t0, 1e-9)
+        wall = max(time.monotonic() - t0, 1e-9)
+        stats["samples_per_sec"] = avg.count / wall
         stats["num_samples"] = avg.count
+        # wall = feed_wait (host feed not hidden by compute) + dispatch
+        # + device_drain (epoch-end sync absorbing queued device work)
+        stats["feed_wait_s"] = round(feed_wait, 3)
+        stats["device_drain_s"] = round(time.monotonic() - t_drain, 3)
+        stats["feed_bound_frac"] = round(feed_wait / wall, 3)
         if self.cfg.nan_check and not np.isfinite(stats.get("loss", 0.0)):
             raise FloatingPointError(
                 f"non-finite epoch-{epoch} loss {stats['loss']} "

@@ -77,6 +77,13 @@ def test_trainer_overfits_tiny_problem(tmp_path):
     assert final["val"]["classerror"] < 0.1
     assert "meanAcc" in final["train"]
     assert final["train"]["aPop"] + final["train"]["bPop"] + final["train"]["cPop"] == pytest.approx(1.0)
+    # feed/compute attribution is logged per epoch (feed-bound or not
+    # becomes a recorded fact, not a profiling session)
+    for stats in (final["train"], final["val"]):
+        wall = stats["num_samples"] / stats["samples_per_sec"]
+        assert 0.0 <= stats["feed_wait_s"] <= wall + 1e-6
+        assert stats["device_drain_s"] >= 0.0
+        assert 0.0 <= stats["feed_bound_frac"] <= 1.0
 
 
 def test_resume_from_checkpoint(tmp_path):
