@@ -118,11 +118,29 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     )
     pretrained_vars = None
     if cfg.pretrained_mat is not None:
-        from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+        from mcncrossmodalemotions_tpu.zoo.registry import (
+            VGGFACE2_MODELS,
+            load_pretrained_teacher,
+            prepare_teacher_from_base,
+        )
 
-        model, pretrained_vars = load_pretrained_teacher(
-            cfg.pretrained_mat, with_pipeline=True,
-            input_size=cfg.input_size, augment=cfg.augment)
+        if cfg.model in VGGFACE2_MODELS:
+            # VGGFace2 base model: head-resize surgery + pinned re-init,
+            # then fine-tune (ferPlusZoo.m:116-199) — NOT returned as-is.
+            teacher, tvars = prepare_teacher_from_base(
+                cfg.pretrained_mat, num_outputs=cfg.num_classes,
+                seed=cfg.seed)
+            model = FaceTeacherPipeline(teacher=teacher,
+                                        input_size=cfg.input_size,
+                                        augment=cfg.augment)
+            pretrained_vars = {
+                "params": {"teacher": tvars["params"]},
+                "batch_stats": {"teacher": tvars["batch_stats"]},
+            }
+        else:
+            model, pretrained_vars = load_pretrained_teacher(
+                cfg.pretrained_mat, with_pipeline=True,
+                input_size=cfg.input_size, augment=cfg.augment)
     else:
         model = build_pipeline(cfg)
     loss_fn = teacher_loss_fn(cfg.loss_type, num_classes=cfg.num_classes)

@@ -51,6 +51,22 @@ ARTIFACTS: Dict[str, Artifact] = {
         Artifact("senet50-ferplus",
                  f"{_MODELS_URL}/ferplus/senet50-ferplus.mat",
                  "senet50-ferplus.mat", "model"),
+        # VGGFace2 base models (ferPlusZoo.m:37-42): the reference
+        # expects these hand-placed under data/models-import/
+        # vggface2_models; their public home is the VGGFace2 MatConvNet
+        # release under the same robots.ox.ac.uk/~albanie/models root.
+        Artifact("resnet50_ft-dag",
+                 f"{_MODELS_URL}/vggface2/resnet50_ft-dag.mat",
+                 "resnet50_ft-dag.mat", "model"),
+        Artifact("resnet50_scratch-dag",
+                 f"{_MODELS_URL}/vggface2/resnet50_scratch-dag.mat",
+                 "resnet50_scratch-dag.mat", "model"),
+        Artifact("senet50_ft-dag",
+                 f"{_MODELS_URL}/vggface2/senet50_ft-dag.mat",
+                 "senet50_ft-dag.mat", "model"),
+        Artifact("senet50_scratch-dag",
+                 f"{_MODELS_URL}/vggface2/senet50_scratch-dag.mat",
+                 "senet50_scratch-dag.mat", "model"),
         # prebuilt imdbs / logit dumps (fetch_emovoxceleb_imdb.m:288-324,
         # teacher_stats.m:85-121)
         Artifact("voxceleb-imdb", f"{_DATA_URL}/voxceleb-imdb.mat",

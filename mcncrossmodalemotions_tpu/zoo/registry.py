@@ -21,6 +21,11 @@ from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC, SpecConfig
 
 STUDENT_MODELS = ("emovoxceleb-student",)
 TEACHER_MODELS = ("resnet50-ferplus", "senet50-ferplus")
+# VGGFace2-pretrained base models (ferPlusZoo.m:37-42) — the starting
+# points for FER+ teacher fine-tuning. Same ResNet50/SENet50
+# architectures; weights load via prepare_teacher_from_base.
+VGGFACE2_MODELS = ("resnet50_ft-dag", "resnet50_scratch-dag",
+                   "senet50_ft-dag", "senet50_scratch-dag")
 
 
 def build_student(name: str = "emovoxceleb-student", *,
@@ -122,6 +127,66 @@ def load_pretrained_student(mat_path, *, with_frontend: bool = True,
     return model, variables
 
 
+def _fold_teacher_conv_biases(arch, variables) -> None:
+    """ResNet convs are bias-free (BN follows); fold any released conv
+    bias into the BN running mean (mean' = mean - bias keeps
+    (z-mu)/sigma identical) — same invariance as
+    load_pretrained_student. Mutates ``variables`` in place."""
+    import numpy as np
+
+    def fold(node_params, node_stats, conv_name, bn_name):
+        conv = node_params.get(conv_name)
+        if conv is None:
+            return
+        bias = conv.pop("bias", None)
+        if bias is not None and bn_name in node_stats:
+            stats = node_stats[bn_name]
+            stats["mean"] = np.asarray(stats["mean"]) - np.asarray(bias)
+
+    fold(variables["params"], variables["batch_stats"], "conv1", "bn1")
+    for s, num_blocks in enumerate(arch["stage_sizes"], start=1):
+        for b in range(num_blocks):
+            block = f"layer{s}_{b}"
+            bp = variables["params"].get(block, {})
+            bs = variables["batch_stats"].get(block, {})
+            for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
+                                       ("conv3", "bn3"),
+                                       ("downsample", "bn_down")):
+                fold(bp, bs, conv_name, bn_name)
+
+
+def prepare_teacher_from_base(mat_path, *, num_outputs: int = 8,
+                              seed: int = 0, download: bool = True):
+    """Fine-tune entry point: VGGFace2 base model -> FER+-ready teacher.
+
+    The reference's scratch-surgery path (ferPlusZoo.m:116-199
+    prepareFromDagNN): load a pretrained base .mat (e.g. the 8631-way
+    'senet50_ft-dag'), strip the loss/softmax layers (implicit here —
+    the importer reads only the conv/bn stack), resize the final
+    classifier to ``num_outputs`` and re-initialise it with a pinned RNG
+    at scale 1/100 (:163-168) with zero biases. Returns
+    (model, variables) ready for ``exp/ferplus_baselines`` fine-tuning
+    (finetune LR scaling on all non-head params comes from
+    ``train/state.finetune_lr_scale_fn``, ferPlusZoo.m:236-237).
+
+    ``mat_path`` may be a registry name ('senet50_ft-dag', ...),
+    resolved download-on-miss via zoo/artifacts.py.
+    """
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.surgery import reinit_head
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import import_teacher
+
+    mat_path = resolve_release(mat_path, download=download)
+    arch, variables = import_teacher(mat_path)
+    _fold_teacher_conv_biases(arch, variables)
+    variables = reinit_head(variables, num_outputs,
+                            jax.random.PRNGKey(seed), scale=1.0 / 100.0)
+    model = ResNet(stage_sizes=arch["stage_sizes"], use_se=arch["use_se"],
+                   width=arch["width"], num_outputs=num_outputs)
+    return model, variables
+
+
 def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
                             input_size: int = 224, augment: bool = False,
                             download: bool = True):
@@ -145,29 +210,7 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
     mat_path = resolve_release(mat_path, download=download)
 
     arch, variables = import_teacher(mat_path)
-    # ResNet convs are bias-free (BN follows); fold any released conv bias
-    # into the BN running mean (mean' = mean - bias keeps (z-mu)/sigma
-    # identical) — same invariance as load_pretrained_student.
-    def fold(node_params, node_stats, conv_name, bn_name):
-        conv = node_params.get(conv_name)
-        if conv is None:
-            return
-        bias = conv.pop("bias", None)
-        if bias is not None and bn_name in node_stats:
-            stats = node_stats[bn_name]
-            stats["mean"] = np.asarray(stats["mean"]) - np.asarray(bias)
-
-    fold(variables["params"], variables["batch_stats"], "conv1", "bn1")
-    for s, num_blocks in enumerate(arch["stage_sizes"], start=1):
-        for b in range(num_blocks):
-            block = f"layer{s}_{b}"
-            bp = variables["params"].get(block, {})
-            bs = variables["batch_stats"].get(block, {})
-            for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
-                                       ("conv3", "bn3"),
-                                       ("downsample", "bn_down")):
-                fold(bp, bs, conv_name, bn_name)
-
+    _fold_teacher_conv_biases(arch, variables)
     model = ResNet(stage_sizes=arch["stage_sizes"], use_se=arch["use_se"],
                    width=arch["width"], num_outputs=arch["num_outputs"])
     if with_pipeline:
@@ -198,8 +241,9 @@ def build_teacher(name: str = "senet50-ferplus", *,
     equivalent switch as ``VGGMStudent.use_batchnorm``
     (``build_student(use_bnorm=...)``).
     """
-    if name not in TEACHER_MODELS:
-        raise KeyError(f"unknown teacher {name!r}; known: {TEACHER_MODELS}")
+    if name not in TEACHER_MODELS + VGGFACE2_MODELS:
+        raise KeyError(f"unknown teacher {name!r}; known: "
+                       f"{TEACHER_MODELS + VGGFACE2_MODELS}")
     use_se = name.startswith("senet")
     if tiny:
         return ResNet(stage_sizes=(1, 1), width=8, use_se=use_se,

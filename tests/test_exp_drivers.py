@@ -74,6 +74,36 @@ def test_ferplus_driver_and_eval_only(tmp_path):
     assert stats["accuracy"] == pytest.approx(1.0 - stats["classerror"])
 
 
+def test_ferplus_finetune_from_vggface2_base(tmp_path):
+    """Teacher fine-tuning from a VGGFace2 base release: head-resize
+    surgery (ferPlusZoo.m:116-199) + one training epoch end to end."""
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+    )
+    from mcncrossmodalemotions_tpu.models.resnet import ResNet
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import resnet50_layer_map
+    from tests.test_matconvnet_import import _export_via_map, _save_dagnn_mat
+
+    rng = np.random.RandomState(11)
+    base = ResNet(stage_sizes=(1, 1), width=8, use_se=True, num_outputs=20)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    base_vars = jax.device_get(base.init(jax.random.PRNGKey(0), x))
+    mat = _export_via_map(base_vars, resnet50_layer_map((1, 1), use_se=True))
+    mat_path = tmp_path / "senet50_ft-dag.mat"
+    _save_dagnn_mat(mat_path, mat)
+
+    imdb = build_synthetic_ferplus(40)
+    cfg = FerPlusConfig(model="senet50_ft-dag", batch_size=16,
+                        input_size=48, dropout=0.0,
+                        lr_values=(0.05,), lr_epochs=(1,),
+                        pretrained_mat=str(mat_path),
+                        out_root=str(tmp_path))
+    _, history = ferplus_baselines(cfg, imdb)
+    assert len(history) == 1
+    assert np.isfinite(history[-1]["train"]["loss"])
+
+
 def test_benchmark_ferplus_models_caching(tmp_path):
     from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
         FerPlusConfig,

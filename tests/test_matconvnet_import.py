@@ -302,6 +302,65 @@ def test_teacher_param_name_variants(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_prepare_teacher_from_base_head_surgery(tmp_path):
+    """VGGFace2-base fine-tune path (ferPlusZoo.m:116-199): import a base
+    release with a WIDE head (stand-in for the 8631-way vggface2
+    classifier), resize to 8 outputs with a pinned 1/100 re-init and
+    zero biases, keep the backbone bit-exact."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.resnet import ResNet
+    from mcncrossmodalemotions_tpu.zoo import prepare_teacher_from_base
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import resnet50_layer_map
+
+    rng = np.random.RandomState(7)
+    base = ResNet(stage_sizes=(1, 1), width=8, use_se=True, num_outputs=20)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32) * 20.0)
+    base_vars = jax.device_get(base.init(jax.random.PRNGKey(3), x))
+    base_vars["batch_stats"] = jax.tree.map(
+        lambda a: (np.abs(rng.randn(*np.shape(a))) + 0.5).astype(np.float32),
+        base_vars["batch_stats"])
+    mat = _export_via_map(base_vars,
+                          resnet50_layer_map((1, 1), use_se=True))
+    mat_path = tmp_path / "senet50_ft-dag.mat"
+    _save_dagnn_mat(mat_path, mat)
+
+    model, variables = prepare_teacher_from_base(mat_path, num_outputs=8,
+                                                 seed=0)
+    assert model.num_outputs == 8 and model.use_se
+    head = variables["params"]["prediction"]
+    kernel = np.asarray(head["kernel"])
+    assert kernel.shape == (64, 8)  # embed dim of the tiny arch
+    np.testing.assert_array_equal(np.asarray(head["bias"]), np.zeros(8))
+    assert abs(kernel.std() - 0.01) < 0.004  # 1/100 re-init scale
+    # pinned RNG: same seed reproduces, different seed does not
+    _, again = prepare_teacher_from_base(mat_path, num_outputs=8, seed=0)
+    np.testing.assert_array_equal(
+        kernel, np.asarray(again["params"]["prediction"]["kernel"]))
+    _, other = prepare_teacher_from_base(mat_path, num_outputs=8, seed=1)
+    assert np.abs(kernel - np.asarray(
+        other["params"]["prediction"]["kernel"])).max() > 0
+
+    # backbone transplanted exactly: embeddings match the base model
+    _, ref_emb = base.apply(jax.tree.map(jnp.asarray, base_vars), x,
+                            return_embedding=True)
+    _, got_emb = model.apply(jax.tree.map(jnp.asarray, variables), x,
+                             return_embedding=True)
+    np.testing.assert_allclose(np.asarray(got_emb), np.asarray(ref_emb),
+                               atol=1e-4)
+
+
+def test_build_teacher_accepts_vggface2_names():
+    from mcncrossmodalemotions_tpu.zoo import build_teacher
+
+    m = build_teacher("senet50_ft-dag", tiny=True)
+    assert m.use_se
+    m = build_teacher("resnet50_scratch-dag", tiny=True)
+    assert not m.use_se
+    with pytest.raises(KeyError):
+        build_teacher("vgg_face")  # classic models are out of scope here
+
+
 def test_teacher_pipeline_load_and_eval_driver(tmp_path):
     """Released teacher .mat -> FaceTeacherPipeline (mean from the
     release's averageImage) -> ferplus_baselines eval-only run."""
