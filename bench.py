@@ -145,12 +145,11 @@ def bench_train_step(details: dict):
     return utts
 
 
-def bench_end_to_end_epoch(details: dict):
-    """One epoch over a synthetic ON-DISK imdb: native threaded loader +
-    compact feed + double-buffered prefetch + train step (utts/s incl.
-    host). Measured for both feed formats: int16 PCM (default, lossless)
-    and the opt-in mu-law uint8 (half the feed bytes again — the lever
-    when the host link, not compute, binds)."""
+def _e2e_epoch_worker(emit_mulaw: bool) -> dict:
+    """One feed format's end-to-end epoch measurement (runs in a FRESH
+    subprocess: measured back-to-back in one process, the second config
+    is systematically ~2x slower — accumulated process/runtime state on
+    the tunnelled backend — which inverted the real ordering)."""
     import tempfile
 
     from mcncrossmodalemotions_tpu.data.emovox import (
@@ -163,30 +162,63 @@ def bench_end_to_end_epoch(details: dict):
 
     root = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
     imdb = build_synthetic_imdb(root / "wavs", num_speakers=8,
-                                tracks_per_speaker=32,
+                                tracks_per_speaker=64,
                                 duration_range=(4.2, 6.0))
+    cfg = BatchConfig(batch_size=64, emit_mulaw=emit_mulaw)
+    batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=0)
+    model = build_student("emovoxceleb-student")
+    trainer = Trainer(
+        model, student_loss_fn("hot-cross-ent", temperature=2.0),
+        TrainConfig(num_epochs=3, learning_rate=1e-4, weight_decay=0.0,
+                    log_every=10_000, resume=False,
+                    exp_dir=str(root / "exp")))
+    example = next(iter(
+        batcher.batches(epoch=1, epoch_size=cfg.batch_size)))
+    state = trainer.init_state(example)
+    # epoch 1 warms the compile; epochs 2-3 measure (best of two — the
+    # tunnelled dev link shows large run-to-run jitter; 512 samples =
+    # 8 batches per epoch keeps a single straggler from dominating)
+    state, _ = trainer.run_epoch(state, batcher.batches(epoch=1), 1, True)
+    best = None
+    for ep in (2, 3):
+        state, stats = trainer.run_epoch(state, batcher.batches(epoch=ep),
+                                         ep, True)
+        if best is None or stats["samples_per_sec"] > best["samples_per_sec"]:
+            best = stats
+    return {"utts_per_sec": round(best["samples_per_sec"], 2),
+            "num_samples": best["num_samples"],
+            "feed_bound_frac": best.get("feed_bound_frac")}
+
+
+def bench_end_to_end_epoch(details: dict):
+    """One epoch over a synthetic ON-DISK imdb: native threaded loader +
+    compact feed + double-buffered prefetch + train step (utts/s incl.
+    host). Measured for both feed formats — int16 PCM (default,
+    lossless) and the opt-in mu-law uint8 (half the feed bytes again —
+    the lever when the host link, not compute, binds) — each in a fresh
+    subprocess so neither inherits the other's process state."""
+    import subprocess
+
     out = None
-    for tag, kw in (("", {}), ("_mulaw8", {"emit_mulaw": True})):
-        cfg = BatchConfig(batch_size=64, **kw)
-        batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=0)
-        model = build_student("emovoxceleb-student")
-        trainer = Trainer(
-            model, student_loss_fn("hot-cross-ent", temperature=2.0),
-            TrainConfig(num_epochs=2, learning_rate=1e-4, weight_decay=0.0,
-                        log_every=10_000, resume=False,
-                        exp_dir=str(root / f"exp{tag}")))
-        example = next(iter(
-            batcher.batches(epoch=1, epoch_size=cfg.batch_size)))
-        state = trainer.init_state(example)
-        # epoch 1 warms the compile; epoch 2 is the measurement
-        state, _ = trainer.run_epoch(state, batcher.batches(epoch=1), 1, True)
-        state, stats = trainer.run_epoch(state, batcher.batches(epoch=2), 2,
-                                         True)
-        details[f"end_to_end_epoch_utts_per_sec{tag}"] = round(
-            stats["samples_per_sec"], 2)
-        details[f"end_to_end_epoch_samples{tag}"] = stats["num_samples"]
+    for tag, flag in (("", "int16"), ("_mulaw8", "mulaw8")):
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             "--e2e-worker", flag],
+            capture_output=True, text=True, timeout=1500)
+        if proc.returncode != 0:
+            _log(f"e2e worker {flag} failed: {proc.stderr[-500:]}")
+            continue
+        try:
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            _log(f"e2e worker {flag}: unparseable output "
+                 f"{proc.stdout[-200:]!r}")
+            continue
+        details[f"end_to_end_epoch_utts_per_sec{tag}"] = res["utts_per_sec"]
+        details[f"end_to_end_epoch_samples{tag}"] = res["num_samples"]
+        details[f"end_to_end_feed_bound_frac{tag}"] = res["feed_bound_frac"]
         if out is None:
-            out = stats["samples_per_sec"]
+            out = res["utts_per_sec"]
     return out
 
 
@@ -399,15 +431,30 @@ def main():
     except Exception:
         pass  # older jax without these options
 
+    if "--e2e-worker" in sys.argv:
+        emit_mulaw = sys.argv[sys.argv.index("--e2e-worker") + 1] == "mulaw8"
+        print(json.dumps(_e2e_epoch_worker(emit_mulaw)))
+        return
+
     full = "--full" in sys.argv
     quick = "--quick" in sys.argv
-    details: dict = {"device_kind": jax.devices()[0].device_kind,
-                     "backend": jax.default_backend()}
+    details: dict = {}
+    if not quick:
+        # The e2e workers are subprocesses with their own runtime
+        # clients; run them BEFORE this process touches the device (the
+        # tunnelled runtime serialises clients — a parent already
+        # holding the chip would starve the children).
+        try:
+            _log("running end_to_end sub-benchmark (subprocess workers)...")
+            bench_end_to_end_epoch(details)
+        except Exception as exc:
+            _log(f"end_to_end sub-benchmark failed: {exc}")
+    details.update({"device_kind": jax.devices()[0].device_kind,
+                    "backend": jax.default_backend()})
 
     utts_per_sec = bench_train_step(details)
     if not quick:
         for name, fn in (("frontend", bench_frontend),
-                         ("end_to_end", bench_end_to_end_epoch),
                          ("teacher", bench_teacher),
                          ("fused_online", bench_fused_online),
                          ("dense_inference", bench_dense_inference),
