@@ -278,11 +278,23 @@ class EmoVoxBatcher:
                 self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
                 cfg.logit_aggregator)
             targets.append(make_targets(window, cfg))
-        if fast_paths:
-            fast = native_ds.read_crops(fast_paths, fast_starts, need)
-            for k, pos in enumerate(fast_positions):
-                rows[pos] = fast[k]
-        batch = {"data": self._pack_waves(np.stack(rows))}
+        whole_batch_fast = len(fast_paths) == len(chunk)
+        fmt = ("mulaw8" if cfg.emit_mulaw
+               else "int16" if cfg.emit_int16 else None)
+        if (whole_batch_fast and fmt is not None
+                and native_ds.packed_reads_available()):
+            # Fused read+quantise: the C++ threads emit device-ready
+            # int16/uint8 rows (bit-identical to read->pack, tested), so
+            # the producer skips the numpy pack pass entirely. Rows come
+            # back in chunk order (every sample took the fast path).
+            batch = {"data": native_ds.read_crops_packed(
+                fast_paths, fast_starts, need, fmt)}
+        else:
+            if fast_paths:
+                fast = native_ds.read_crops(fast_paths, fast_starts, need)
+                for k, pos in enumerate(fast_positions):
+                    rows[pos] = fast[k]
+            batch = {"data": self._pack_waves(np.stack(rows))}
         for key in targets[0]:
             batch[key] = np.stack([t[key] for t in targets])
         if cfg.frames_per_crop > 0:

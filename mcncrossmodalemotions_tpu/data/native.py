@@ -41,6 +41,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                   ctypes.POINTER(ctypes.c_int64),
                                   ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                                   ctypes.POINTER(ctypes.c_float)]
+    if hasattr(lib, "ds_read_crops_packed"):  # newer native builds
+        lib.ds_read_crops_packed.restype = ctypes.c_int
+        lib.ds_read_crops_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p]
     lib.ds_decode_face.restype = ctypes.c_int
     lib.ds_decode_face.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                    ctypes.c_double,
@@ -109,6 +115,41 @@ def read_crops(paths: Sequence[str], starts: Sequence[int],
     )
     if failures:
         raise IOError(f"ds_read_crops: {failures}/{count} files failed")
+    return out
+
+
+def packed_reads_available() -> bool:
+    """True when the built library has the fused read+quantise entry."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "ds_read_crops_packed")
+
+
+def read_crops_packed(paths: Sequence[str], starts: Sequence[int],
+                      num_samples: int, fmt: str = "int16",
+                      num_threads: int = 8) -> np.ndarray:
+    """Threaded segment reads fused with device-feed quantisation.
+
+    ``fmt='int16'`` -> [count, n] int16 PCM (data/audio.pack_pcm16 twin);
+    ``fmt='mulaw8'`` -> [count, n] uint8 mu-law (pack_mulaw8 twin).
+    Bit-identical to reading floats and packing on the host (same
+    to-nearest-even rounding, same 64K lin->ulaw table), but the pack
+    runs on the C++ reader threads — the Python producer ships
+    device-ready bytes without a numpy pass over the samples.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ds_read_crops_packed"):
+        raise RuntimeError("native packed reads not built (make -C native)")
+    mode = {"int16": 0, "mulaw8": 1}[fmt]
+    count = len(paths)
+    out = np.zeros((count, num_samples),
+                   np.int16 if mode == 0 else np.uint8)
+    c_paths = (ctypes.c_char_p * count)(*[str(p).encode() for p in paths])
+    c_starts = (ctypes.c_int64 * count)(*[int(s) for s in starts])
+    failures = lib.ds_read_crops_packed(
+        c_paths, c_starts, num_samples, count, num_threads, mode,
+        out.ctypes.data_as(ctypes.c_void_p))
+    if failures:
+        raise IOError(f"ds_read_crops_packed: {failures}/{count} files failed")
     return out
 
 

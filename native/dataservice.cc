@@ -204,6 +204,56 @@ int64_t ReadWavSegment(const char* path, int64_t start, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// Device-feed quantisation (pack_pcm16 / pack_mulaw8 twins)
+// ---------------------------------------------------------------------------
+// Row-wise peak normalisation (DOWN only: divisor >= 1) + quantisation,
+// matching data/audio.py exactly: rounding is nearbyintf under the
+// default to-nearest-EVEN mode (numpy's np.round convention), and the
+// mu-law byte is the 64K lin->ulaw table applied to the pcm16 value
+// (data/audio.pack_mulaw8's LUT composition).
+
+int16_t QuantizePcm16(float x) {
+  float v = nearbyintf(x * 32768.0f);
+  v = std::min(32767.0f, std::max(-32768.0f, v));
+  return static_cast<int16_t>(v);
+}
+
+const unsigned char* MulawLut() {
+  static const std::vector<unsigned char> lut = [] {
+    std::vector<unsigned char> t(65536);
+    const double denom = std::log1p(255.0);
+    for (int i = 0; i < 65536; ++i) {
+      const int pcm = (i < 32768) ? i : i - 65536;
+      const double x = pcm / 32768.0;
+      const double y =
+          std::copysign(std::log1p(255.0 * std::fabs(x)) / denom, x);
+      double v = nearbyint((y + 1.0) * 127.5);
+      v = std::min(255.0, std::max(0.0, v));
+      t[i] = static_cast<unsigned char>(v);
+    }
+    return t;
+  }();
+  return lut.data();
+}
+
+// Quantise one float row into out (mode 0: int16 pcm; 1: uint8 mu-law).
+// fp32 DIVISION by the peak (not reciprocal-multiply) so results are
+// bit-identical to numpy's `waves / peak` on every platform.
+void PackRow(const float* row, int64_t n, int mode, void* out) {
+  float peak = 1.0f;
+  for (int64_t i = 0; i < n; ++i) peak = std::max(peak, std::fabs(row[i]));
+  if (mode == 0) {
+    int16_t* o = static_cast<int16_t*>(out);
+    for (int64_t i = 0; i < n; ++i) o[i] = QuantizePcm16(row[i] / peak);
+  } else {
+    const unsigned char* lut = MulawLut();
+    unsigned char* o = static_cast<unsigned char*>(out);
+    for (int64_t i = 0; i < n; ++i)
+      o[i] = lut[static_cast<uint16_t>(QuantizePcm16(row[i] / peak))];
+  }
+}
+
+// ---------------------------------------------------------------------------
 // JPEG decode + center-crop + bilinear resize + grayscale
 // ---------------------------------------------------------------------------
 // libjpeg's default error handler calls exit(); a corrupt frame must
@@ -347,6 +397,30 @@ int ds_read_crops(const char** paths, const int64_t* starts, int64_t n,
     int32_t rate = 0;
     if (ReadWavSegment(paths[i], starts[i], n, out + size_t(i) * n, &rate) < 0)
       failures.fetch_add(1);
+  });
+  return failures.load();
+}
+
+// Batched crop reads + on-thread feed quantisation into out[count, n]:
+// mode 0 writes int16 PCM (pack_pcm16 twin), mode 1 writes uint8 mu-law
+// (pack_mulaw8 twin). Fuses the read and the pack so the Python
+// producer thread ships device-ready bytes without touching the
+// samples (and without holding the GIL for the pack).
+// Returns 0 if every file decoded, else the number of failures.
+int ds_read_crops_packed(const char** paths, const int64_t* starts, int64_t n,
+                         int count, int num_threads, int mode, void* out) {
+  std::atomic<int> failures(0);
+  const size_t row_bytes = (mode == 0) ? n * 2 : n;
+  ParallelFor(count, num_threads, [&](int i) {
+    std::vector<float> scratch(n);
+    int32_t rate = 0;
+    if (ReadWavSegment(paths[i], starts[i], n, scratch.data(), &rate) < 0) {
+      failures.fetch_add(1);
+      memset(static_cast<char*>(out) + size_t(i) * row_bytes, 0, row_bytes);
+      return;
+    }
+    PackRow(scratch.data(), n, mode,
+            static_cast<char*>(out) + size_t(i) * row_bytes);
   });
   return failures.load();
 }

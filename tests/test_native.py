@@ -101,6 +101,61 @@ def test_batcher_native_path_matches_python(tmp_path):
 
 
 @needs_native
+def test_native_packed_reads_bit_exact(tmp_path, rng):
+    """Fused read+quantise (ds_read_crops_packed) must equal reading
+    floats and packing in Python BIT FOR BIT — same to-nearest-even
+    rounding, same 64K lin->ulaw table, fp32 division by the peak."""
+    from mcncrossmodalemotions_tpu.data.audio import pack_mulaw8, pack_pcm16
+
+    if not native.packed_reads_available():
+        pytest.skip("native library predates packed reads")
+    paths, starts = [], []
+    for i in range(6):
+        p = tmp_path / f"p{i}.wav"
+        write_wav(p, rng.randn(20000).astype(np.float32) * 0.4, 16000)
+        paths.append(str(p))
+        starts.append(137 * i)
+    need = 8000  # includes zero-padded tails for late starts
+    ref = native.read_crops(paths, starts, need)
+    got16 = native.read_crops_packed(paths, starts, need, "int16")
+    assert got16.dtype == np.int16
+    np.testing.assert_array_equal(got16, pack_pcm16(ref))
+    got8 = native.read_crops_packed(paths, starts, need, "mulaw8")
+    assert got8.dtype == np.uint8
+    np.testing.assert_array_equal(got8, pack_mulaw8(ref))
+
+
+@needs_native
+def test_batcher_native_packed_mulaw_matches_python(tmp_path):
+    """EmoVoxBatcher's native fast path with the mu-law feed must equal
+    the pure-Python path exactly (same RNG stream, same bytes)."""
+    from mcncrossmodalemotions_tpu.data import native as native_mod
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        BatchConfig,
+        EmoVoxBatcher,
+        build_synthetic_imdb,
+    )
+
+    if not native.packed_reads_available():
+        pytest.skip("native library predates packed reads")
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=3)
+    cfg = BatchConfig(batch_size=3, emit_mulaw=True)
+    batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=7)
+    native_batches = list(batcher.batches(epoch=2))
+    assert native_batches[0]["data"].dtype == np.uint8
+    orig = native_mod.available
+    native_mod.available = lambda: False
+    try:
+        py_batches = list(batcher.batches(epoch=2))
+    finally:
+        native_mod.available = orig
+    for nb, pb in zip(native_batches, py_batches):
+        np.testing.assert_array_equal(nb["data"], pb["data"])
+        np.testing.assert_array_equal(nb["max_label"], pb["max_label"])
+
+
+@needs_native
 def test_native_corrupt_jpeg_fails_cleanly(tmp_path):
     """A corrupt JPEG must fail the decode, not kill the process
     (libjpeg's default error handler calls exit())."""
