@@ -158,13 +158,33 @@ class AudioFeatureExtractor:
                 fast_rows.append(row)
             else:
                 slow_futs[row] = pool.submit(self._load_one, path, need)
+        # Whole-chunk fast path + compact feed: fuse the quantisation
+        # into the C++ reader threads (device-ready rows, no numpy pack;
+        # bit-identical — see data/native.read_crops_packed).
+        fmt = ("mulaw8" if self.emit_mulaw
+               else "int16" if self.emit_int16 else None)
+        packed = (fmt is not None and not slow_futs and fast
+                  and native_ds.packed_reads_available())
         fast_fut = None
         if fast:
-            fast_fut = pool.submit(
-                native_ds.read_crops, fast, [0] * len(fast), need,
-                self.num_threads)
+            if packed:
+                fast_fut = pool.submit(
+                    native_ds.read_crops_packed, fast, [0] * len(fast),
+                    need, fmt, self.num_threads)
+            else:
+                fast_fut = pool.submit(
+                    native_ds.read_crops, fast, [0] * len(fast), need,
+                    self.num_threads)
 
         def join() -> np.ndarray:
+            if packed:
+                block = fast_fut.result()
+                if need > cap:
+                    # 19.9 s cap: silence past the cap. In the packed
+                    # domain silence is pcm 0 / mu-law 128 (the encoder's
+                    # zero code) — matches capping floats then packing.
+                    block[:, cap:] = 128 if fmt == "mulaw8" else 0
+                return block
             waves = np.zeros((len(chunk), need), np.float32)
             if fast_fut is not None:
                 block = fast_fut.result()
@@ -214,18 +234,19 @@ class AudioFeatureExtractor:
                     joins.append(self._submit_chunk(pool, nxt[2], nxt[0]))
                 valid = jnp.asarray(
                     np.asarray([c[2][0] for c in chunk], np.int32))
-                if self.emit_mulaw:
-                    from mcncrossmodalemotions_tpu.data.audio import (
-                        pack_mulaw8,
-                    )
+                if waves.dtype == np.float32:  # packed chunks arrive ready
+                    if self.emit_mulaw:
+                        from mcncrossmodalemotions_tpu.data.audio import (
+                            pack_mulaw8,
+                        )
 
-                    waves = pack_mulaw8(waves)
-                elif self.emit_int16:
-                    from mcncrossmodalemotions_tpu.data.audio import (
-                        pack_pcm16,
-                    )
+                        waves = pack_mulaw8(waves)
+                    elif self.emit_int16:
+                        from mcncrossmodalemotions_tpu.data.audio import (
+                            pack_pcm16,
+                        )
 
-                    waves = pack_pcm16(waves)
+                        waves = pack_pcm16(waves)
                 jwaves = jnp.asarray(waves)
                 if use_pallas:
                     from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import (

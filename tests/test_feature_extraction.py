@@ -72,6 +72,38 @@ def test_audio_extractor_batching_invariance(tmp_path, tiny_student, rng):
         np.testing.assert_allclose(x, y, atol=2e-2)
 
 
+def test_audio_extractor_packed_feed_matches_python(tmp_path, tiny_student,
+                                                    rng):
+    """The fused C++ read+quantise chunk path must produce the SAME
+    logits as reading floats and packing in numpy (bit-identical feed)."""
+    from mcncrossmodalemotions_tpu.data import native
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+
+    if not native.packed_reads_available():
+        pytest.skip("native packed reads not built")
+    model, variables = tiny_student
+    paths = []
+    for i, seconds in enumerate([1.5, 3.0, 3.0, 4.5]):
+        p = tmp_path / f"q{i}.wav"
+        write_wav(p, rng.randn(int(16000 * seconds)).astype(np.float32) * 0.3,
+                  16000)
+        paths.append(str(p))
+    for fmt_kw in ({"emit_int16": True}, {"emit_mulaw": True}):
+        fused = AudioFeatureExtractor(model, variables, batch_size=2,
+                                      **fmt_kw).track_logits(paths,
+                                                             verbose=False)
+        orig = native.packed_reads_available
+        native.packed_reads_available = lambda: False
+        try:
+            host = AudioFeatureExtractor(model, variables, batch_size=2,
+                                         **fmt_kw).track_logits(
+                paths, verbose=False)
+        finally:
+            native.packed_reads_available = orig
+        for x, y in zip(fused, host):
+            np.testing.assert_array_equal(x, y)
+
+
 def test_compute_audio_feats_caching(tmp_path, rng):
     from mcncrossmodalemotions_tpu.data.external import build_synthetic_track_imdb
 
