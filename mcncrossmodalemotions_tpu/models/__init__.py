@@ -1,6 +1,8 @@
-"""Flax model definitions: VGG-M speech student, ResNet50/SENet50 teachers."""
+"""Flax model definitions: VGG-M speech student, ResNet50/SENet50
+teachers, classic VGG face teachers."""
 
 from mcncrossmodalemotions_tpu.models.resnet import ResNet, ResNet50, SEBlock, SENet50
+from mcncrossmodalemotions_tpu.models.vggface import VGGFace
 from mcncrossmodalemotions_tpu.models.vggm import VGGMStudent, temporal_valid_frames
 
 __all__ = [
@@ -8,6 +10,7 @@ __all__ = [
     "ResNet50",
     "SENet50",
     "SEBlock",
+    "VGGFace",
     "VGGMStudent",
     "temporal_valid_frames",
 ]

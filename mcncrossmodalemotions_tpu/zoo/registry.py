@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 
 from mcncrossmodalemotions_tpu.losses import (
@@ -26,6 +26,14 @@ TEACHER_MODELS = ("resnet50-ferplus", "senet50-ferplus")
 # architectures; weights load via prepare_teacher_from_base.
 VGGFACE2_MODELS = ("resnet50_ft-dag", "resnet50_scratch-dag",
                    "senet50_ft-dag", "senet50_scratch-dag")
+# Classic pre-ResNet face models (ferPlusZoo.m:44-59 standardModels/
+# ferModels/sfewModels): VGG-VD-16 and VGG-M stacks (models/vggface.py);
+# '-bn' names carry BatchNorm, the rest accept the useBnorm insertion
+# via build_teacher(use_bnorm=True). 'resnet50-face-sfew' is a plain
+# ResNet50 and is handled with the ResNet names.
+CLASSIC_MODELS = ("vgg_face", "vgg-vd-face", "vgg-vd-face-fer",
+                  "vgg-vd-face-sfew", "vgg-vd-face-sfew-dag",
+                  "vgg-m-face-bn", "vgg-m-face-bn-fer")
 
 
 def build_student(name: str = "emovoxceleb-student", *,
@@ -232,18 +240,31 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
 
 def build_teacher(name: str = "senet50-ferplus", *,
                   num_outputs: int = 8,
-                  tiny: bool = False) -> ResNet:
+                  use_bnorm: Optional[bool] = None,
+                  tiny: bool = False):
     """Teacher zoo (ferPlusZoo.m:37-92 registry, 8-way CNTK head).
 
-    The reference's ``useBnorm`` insertion option (ferPlusZoo.m:123)
-    targets its BN-less classic models (vgg_face etc.); the ResNet/SENet
-    teachers carry BatchNorm inherently, and the student exposes the
-    equivalent switch as ``VGGMStudent.use_batchnorm``
-    (``build_student(use_bnorm=...)``).
+    ResNet/SENet names build `models/resnet.ResNet`; the classic VGG
+    face names (CLASSIC_MODELS) build `models/vggface.VGGFace`.
+    ``use_bnorm`` is the reference's ``useBnorm`` insertion option
+    (ferPlusZoo.m:123, insertBNLayers): it retrofits BatchNorm into the
+    BN-less classics (default: on for the '-bn' names, off otherwise);
+    the ResNet teachers carry BN inherently and ignore it.
     """
-    if name not in TEACHER_MODELS + VGGFACE2_MODELS:
-        raise KeyError(f"unknown teacher {name!r}; known: "
-                       f"{TEACHER_MODELS + VGGFACE2_MODELS}")
+    if name in CLASSIC_MODELS:
+        from mcncrossmodalemotions_tpu.models.vggface import VGGFace
+
+        arch = "m" if name.startswith("vgg-m") else "vd"
+        bn = ("-bn" in name) if use_bnorm is None else use_bnorm
+        kw = dict(arch=arch, use_batchnorm=bn, num_outputs=num_outputs)
+        if tiny:
+            return VGGFace(width_multiplier=1 / 16, fc_features=64, **kw)
+        return VGGFace(**kw)
+    if name not in TEACHER_MODELS + VGGFACE2_MODELS + (
+            "resnet50-face-sfew",):
+        raise KeyError(
+            f"unknown teacher {name!r}; known: "
+            f"{TEACHER_MODELS + VGGFACE2_MODELS + CLASSIC_MODELS}")
     use_se = name.startswith("senet")
     if tiny:
         return ResNet(stage_sizes=(1, 1), width=8, use_se=use_se,

@@ -358,7 +358,7 @@ def test_build_teacher_accepts_vggface2_names():
     m = build_teacher("resnet50_scratch-dag", tiny=True)
     assert not m.use_se
     with pytest.raises(KeyError):
-        build_teacher("vgg_face")  # classic models are out of scope here
+        build_teacher("vgg-totally-unknown")
 
 
 def test_teacher_pipeline_load_and_eval_driver(tmp_path):

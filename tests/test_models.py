@@ -200,3 +200,81 @@ def test_resize_separable_identity_and_downscale(rng):
     down = np.asarray(resize_separable(img, 8, 8))
     assert down.shape == (1, 8, 8, 3)
     assert np.isfinite(down).all()
+
+
+# ---------------------------------------------------------------------------
+# Classic VGG face teachers (models/vggface.py, ferPlusZoo.m:44-59)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name,arch,bn", [
+    ("vgg_face", "vd", False),
+    ("vgg-vd-face-sfew", "vd", False),
+    ("vgg-m-face-bn-fer", "m", True),
+])
+def test_classic_teacher_registry(name, arch, bn):
+    from mcncrossmodalemotions_tpu.zoo import build_teacher
+
+    m = build_teacher(name, tiny=True)
+    assert type(m).__name__ == "VGGFace"
+    assert m.arch == arch
+    assert m.use_batchnorm == bn
+
+
+def test_classic_teacher_usebnorm_insertion():
+    """The useBnorm option (ferPlusZoo.m:123) retrofits BN into the
+    BN-less classics; BN params must appear in the variable tree."""
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.zoo import build_teacher
+
+    x = jnp.zeros((1, 64, 64, 3))
+    plain = build_teacher("vgg_face", tiny=True)
+    v_plain = plain.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" not in v_plain
+    with_bn = build_teacher("vgg_face", use_bnorm=True, tiny=True)
+    v_bn = with_bn.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in v_bn
+    assert any(k.startswith("bn_") for k in v_bn["params"])
+
+
+@pytest.mark.parametrize("arch", ["vd", "m"])
+def test_vggface_forward_and_embedding(arch):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.models import VGGFace
+
+    model = VGGFace(arch=arch, width_multiplier=1 / 16, fc_features=32,
+                    num_outputs=8, use_batchnorm=True)
+    size = 64 if arch == "vd" else 96  # vgg-m geometry needs >= 75 px
+    x = jnp.asarray(np.random.RandomState(0).randn(2, size, size, 3)
+                    .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits, emb = model.apply(variables, x, return_embedding=True)
+    assert logits.shape == (2, 8)
+    assert emb.shape[0] == 2 and emb.shape[1] >= 8
+    assert np.isfinite(np.asarray(logits)).all()
+    # head carries the 1/100 re-init scale (ferPlusZoo.m:163-168)
+    k = np.asarray(variables["params"]["prediction"]["kernel"])
+    assert abs(k.std() - 0.01) < 0.005
+
+
+def test_classic_teacher_ferplus_driver(tmp_path):
+    """A classic VGG teacher trains end to end through the FER+ driver."""
+    from mcncrossmodalemotions_tpu.data.ferplus import build_synthetic_ferplus
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+    )
+
+    imdb = build_synthetic_ferplus(32)
+    cfg = FerPlusConfig(model="vgg-m-face-bn", batch_size=16,
+                        tiny_model=True, input_size=96, dropout=0.0,
+                        lr_values=(0.05,), lr_epochs=(1,),
+                        out_root=str(tmp_path))
+    _, history = ferplus_baselines(cfg, imdb)
+    assert len(history) == 1
+    import numpy as np
+
+    assert np.isfinite(history[-1]["train"]["loss"])
