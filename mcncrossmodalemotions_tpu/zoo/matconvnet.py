@@ -337,3 +337,59 @@ def import_teacher(mat_path: str | Path,
     layer_map = resnet50_layer_map(arch["stage_sizes"], use_se=arch["use_se"],
                                    head_name=head_name)
     return arch, import_variables(params, layer_map)
+
+
+# ---------------------------------------------------------------------------
+# Classic VGG face releases (vgg_face / vgg-vd-face* / vgg-m-face-bn*),
+# ferPlusZoo.m:44-59. VD-16 layers are conv{block}_{idx}; VGG-M layers
+# are conv{1..5}; both end fc6/fc7/fc8. The '-bn' releases carry BN
+# params alongside each conv/fc (insertBNLayers naming: <layer>_bn*).
+# ---------------------------------------------------------------------------
+
+VD16_BLOCK_SIZES = (2, 2, 3, 3, 3)
+
+
+def vggface_layer_map(arch: str = "vd", *, use_batchnorm: bool = False,
+                      head_name: str = "fc8",
+                      prefix: str = "") -> Dict[str, dict]:
+    """Flax-path -> .mat-param mapping for ``models/vggface.VGGFace``."""
+    m: Dict[str, dict] = {}
+
+    def add(flax_name: str, mat_layer: str) -> None:
+        m[f"{prefix}{flax_name}"] = _conv_spec(mat_layer)
+        if use_batchnorm:
+            m[f"{prefix}bn_{flax_name}"] = _bn_spec(f"{mat_layer}_bn")
+
+    if arch == "vd":
+        for b, n in enumerate(VD16_BLOCK_SIZES, start=1):
+            for c in range(1, n + 1):
+                add(f"conv{b}_{c}", f"conv{b}_{c}")
+    elif arch == "m":
+        for i in range(1, 6):
+            add(f"conv{i}", f"conv{i}")
+    else:
+        raise ValueError(f"unknown VGGFace arch {arch!r}")
+    add("fc6", "fc6")
+    add("fc7", "fc7")
+    # fc6/fc7 are convs; when their spatial extent is 1x1 (fc7 always;
+    # fc6 in small geometries) MATLAB's save squeezes them to [Cin, Cout]
+    # — hw restores the spatial axes (full-spatial fc6 kernels arrive 4-D
+    # and pass through untouched).
+    m[f"{prefix}fc6"]["hw"] = (1, 1)
+    m[f"{prefix}fc7"]["hw"] = (1, 1)
+    m[f"{prefix}prediction"] = _dense_spec(head_name)
+    return m
+
+
+def import_classic_teacher(mat_path: str | Path, model) -> dict:
+    """Released classic VGG face .mat -> ``VGGFace`` variables tree.
+
+    ``model`` supplies the architecture config (arch + use_batchnorm),
+    exactly as the reference reads it from the loaded DagNN graph
+    (ferPlusZoo.m:136-160); shapes are validated implicitly when the
+    tree is applied.
+    """
+    params = load_mat_params(mat_path)
+    layer_map = vggface_layer_map(model.arch,
+                                  use_batchnorm=model.use_batchnorm)
+    return import_variables(params, layer_map)

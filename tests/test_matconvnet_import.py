@@ -402,3 +402,35 @@ def test_teacher_pipeline_load_and_eval_driver(tmp_path):
                                  resume=False)
     assert np.isfinite(stats["loss"])
     assert 0.0 <= stats["accuracy"] <= 1.0
+
+
+@pytest.mark.parametrize("arch", ["vd", "m"])
+def test_classic_vggface_mat_roundtrip(tmp_path, arch):
+    """Classic VGG face import (vggface_layer_map): export a tiny
+    VGGFace into the MatConvNet naming, re-import, demand identical
+    logits (ferPlusZoo.m:44-59 classic-model path)."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.vggface import VGGFace
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+        import_classic_teacher,
+        vggface_layer_map,
+    )
+
+    rng = np.random.RandomState(9)
+    model = VGGFace(arch=arch, width_multiplier=1 / 16, fc_features=32,
+                    num_outputs=8, use_batchnorm=True)
+    size = 64 if arch == "vd" else 96
+    x = jnp.asarray(rng.randn(2, size, size, 3).astype(np.float32) * 10.0)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(1), x))
+    variables["batch_stats"] = jax.tree.map(
+        lambda a: (np.abs(rng.randn(*np.shape(a))) + 0.5).astype(np.float32),
+        variables["batch_stats"])
+    lmap = vggface_layer_map(arch, use_batchnorm=True)
+    mat_path = tmp_path / f"vggface_{arch}.mat"
+    _save_dagnn_mat(mat_path, _export_via_map(variables, lmap))
+
+    loaded = import_classic_teacher(mat_path, model)
+    ref = model.apply(jax.tree.map(jnp.asarray, variables), x)
+    got = model.apply(jax.tree.map(jnp.asarray, loaded), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
