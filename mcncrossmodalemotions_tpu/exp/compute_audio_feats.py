@@ -163,7 +163,13 @@ class AudioFeatureExtractor:
         # bit-identical — see data/native.read_crops_packed).
         fmt = ("mulaw8" if self.emit_mulaw
                else "int16" if self.emit_int16 else None)
+        # need > cap would make the C++ pack compute the row peak over
+        # samples the host path zeroes BEFORE packing (different
+        # divisor -> different bytes), so the fused path is only taken
+        # when no cap truncation applies (always true for the standard
+        # <=10 s buckets; the cap is 19.9 s).
         packed = (fmt is not None and not slow_futs and fast
+                  and need <= cap
                   and native_ds.packed_reads_available())
         fast_fut = None
         if fast:
@@ -178,13 +184,7 @@ class AudioFeatureExtractor:
 
         def join() -> np.ndarray:
             if packed:
-                block = fast_fut.result()
-                if need > cap:
-                    # 19.9 s cap: silence past the cap. In the packed
-                    # domain silence is pcm 0 / mu-law 128 (the encoder's
-                    # zero code) — matches capping floats then packing.
-                    block[:, cap:] = 128 if fmt == "mulaw8" else 0
-                return block
+                return fast_fut.result()  # need <= cap: no truncation
             waves = np.zeros((len(chunk), need), np.float32)
             if fast_fut is not None:
                 block = fast_fut.result()

@@ -77,7 +77,7 @@ class FerPlusConfig:
 
 def build_pipeline(cfg: FerPlusConfig) -> FaceTeacherPipeline:
     teacher = build_teacher(cfg.model, num_outputs=cfg.num_classes,
-                            tiny=cfg.tiny_model)
+                            dropout=cfg.dropout, tiny=cfg.tiny_model)
     teacher = dataclasses.replace(teacher, head_init_scale=0.01)
     return FaceTeacherPipeline(teacher=teacher, input_size=cfg.input_size,
                                augment=cfg.augment)
@@ -117,26 +117,36 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
         resume=resume,
     )
     pretrained_vars = None
+    fresh_head = False  # base-model surgery re-randomised the classifier
     if cfg.pretrained_mat is not None:
         from mcncrossmodalemotions_tpu.zoo.registry import (
+            CLASSIC_MODELS,
             VGGFACE2_MODELS,
             load_pretrained_teacher,
+            prepare_classic_from_base,
             prepare_teacher_from_base,
         )
 
-        if cfg.model in VGGFACE2_MODELS:
-            # VGGFace2 base model: head-resize surgery + pinned re-init,
-            # then fine-tune (ferPlusZoo.m:116-199) — NOT returned as-is.
-            teacher, tvars = prepare_teacher_from_base(
-                cfg.pretrained_mat, num_outputs=cfg.num_classes,
-                seed=cfg.seed)
+        if cfg.model in VGGFACE2_MODELS + CLASSIC_MODELS:
+            # Base model: head-resize surgery + pinned re-init, then
+            # fine-tune (ferPlusZoo.m:116-199) — NOT returned as-is.
+            if cfg.model in VGGFACE2_MODELS:
+                teacher, tvars = prepare_teacher_from_base(
+                    cfg.pretrained_mat, num_outputs=cfg.num_classes,
+                    seed=cfg.seed)
+            else:
+                teacher, tvars = prepare_classic_from_base(
+                    cfg.pretrained_mat, cfg.model,
+                    num_outputs=cfg.num_classes, seed=cfg.seed)
+            teacher = dataclasses.replace(teacher, dropout_rate=cfg.dropout)
+            fresh_head = True
             model = FaceTeacherPipeline(teacher=teacher,
                                         input_size=cfg.input_size,
                                         augment=cfg.augment)
-            pretrained_vars = {
-                "params": {"teacher": tvars["params"]},
-                "batch_stats": {"teacher": tvars["batch_stats"]},
-            }
+            pretrained_vars = {"params": {"teacher": tvars["params"]}}
+            if "batch_stats" in tvars:
+                pretrained_vars["batch_stats"] = {
+                    "teacher": tvars["batch_stats"]}
         else:
             model, pretrained_vars = load_pretrained_teacher(
                 cfg.pretrained_mat, with_pipeline=True,
@@ -174,6 +184,12 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     if evaluate_only is not None:
         subset = _SUBSET_IDS[evaluate_only]
         if pretrained_state is not None:
+            if fresh_head:
+                raise ValueError(
+                    f"{cfg.model!r} is a base model whose classifier was "
+                    "just re-initialised (head-resize surgery) — there is "
+                    "nothing trained to evaluate. Fine-tune first, or "
+                    "evaluate a released ferplus model / a checkpoint.")
             # released model evaluated as-is (ferPlusZoo.m:103-114)
             state = pretrained_state
         else:

@@ -95,6 +95,9 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] | None = None  # override for tiny test configs
     use_se: bool = False
     width: int = 64
+    dropout_rate: float = 0.0  # ferPlusZoo insert_dropout (:213-233):
+                               # dropout after the last convs, i.e. on
+                               # the pooled embedding before the head
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     head_init_scale: float = 0.01  # ferPlusZoo.m head re-init, scale 1/100
@@ -125,6 +128,8 @@ class ResNet(nn.Module):
                 )(x, train=train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global average pool
         embedding = x
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         logits = nn.Dense(
             self.num_outputs,
             dtype=jnp.float32,

@@ -73,20 +73,25 @@ class VGGFace(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         elif self.arch == "m":
             # VGG-M: 7x7/s2-96, pool3/2; 5x5/s2-256, pool3/2; 3x3x(512,
-            # 512, 512); pool3/2 (Chatfield et al. geometry).
+            # 512, 512); pool3/2 (Chatfield et al. geometry). Pools carry
+            # MatConvNet's [0 1 0 1] pad (ceil semantics), which is what
+            # makes the released 224 geometry come out 109 -> 54 -> 26 ->
+            # 13 -> 6 and fc6 a 6x6 kernel — plain VALID pools would give
+            # a 5x5 fc6 and released weights could not load.
+            ceil_pad = ((0, 1), (0, 1))
             x = nn.Conv(self._w(96), (7, 7), strides=(2, 2), padding="VALID",
                         name="conv1", **conv_kw)(x)
             x = bn_relu(x, "conv1")
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=ceil_pad)
             x = nn.Conv(self._w(256), (5, 5), strides=(2, 2),
                         padding=[(1, 1), (1, 1)], name="conv2", **conv_kw)(x)
             x = bn_relu(x, "conv2")
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=ceil_pad)
             for i in (3, 4, 5):
                 x = nn.Conv(self._w(512), (3, 3), padding="SAME",
                             name=f"conv{i}", **conv_kw)(x)
                 x = bn_relu(x, f"conv{i}")
-            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=ceil_pad)
         else:
             raise ValueError(f"unknown VGGFace arch {self.arch!r}")
 

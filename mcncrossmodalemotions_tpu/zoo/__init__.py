@@ -12,6 +12,7 @@ from mcncrossmodalemotions_tpu.zoo.registry import (
     build_teacher,
     load_pretrained_student,
     load_pretrained_teacher,
+    prepare_classic_from_base,
     prepare_teacher_from_base,
     student_loss_fn,
     teacher_loss_fn,
@@ -22,6 +23,7 @@ __all__ = [
     "build_teacher",
     "load_pretrained_student",
     "load_pretrained_teacher",
+    "prepare_classic_from_base",
     "prepare_teacher_from_base",
     "student_loss_fn",
     "teacher_loss_fn",

@@ -195,6 +195,52 @@ def prepare_teacher_from_base(mat_path, *, num_outputs: int = 8,
     return model, variables
 
 
+def _fold_classic_conv_biases(variables) -> None:
+    """Fold released conv/fc biases into their BN running means for a
+    '-bn' classic import (VGGFace builds those convs bias-free; silently
+    dropping a released bias would shift every activation). Same
+    mean' = mean - bias invariance as _fold_teacher_conv_biases."""
+    import numpy as np
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    for k in list(params):
+        bn = f"bn_{k}"
+        if bn in stats:
+            bias = params[k].pop("bias", None)
+            if bias is not None:
+                stats[bn]["mean"] = (np.asarray(stats[bn]["mean"])
+                                     - np.asarray(bias))
+
+
+def prepare_classic_from_base(mat_path, name, *, num_outputs: int = 8,
+                              seed: int = 0,
+                              use_bnorm: Optional[bool] = None,
+                              download: bool = True):
+    """Classic VGG face base .mat -> FER+-ready teacher.
+
+    The ferPlusZoo classic path (ferPlusZoo.m:44-59 names + :116-199
+    surgery): import the release (e.g. the 2622-way vgg_face), fold conv
+    biases into BN means for '-bn' models, resize the classifier to
+    ``num_outputs`` with the pinned 1/100 re-init and zero biases.
+    """
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.surgery import reinit_head
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+        import_classic_teacher,
+    )
+
+    model = build_teacher(name, num_outputs=num_outputs, use_bnorm=use_bnorm)
+    mat_path = resolve_release(mat_path, download=download)
+    variables = import_classic_teacher(mat_path, model)
+    if model.use_batchnorm:
+        _fold_classic_conv_biases(variables)
+    variables = reinit_head(variables, num_outputs,
+                            jax.random.PRNGKey(seed), scale=1.0 / 100.0)
+    return model, variables
+
+
 def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
                             input_size: int = 224, augment: bool = False,
                             download: bool = True):
@@ -240,13 +286,16 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
 
 def build_teacher(name: str = "senet50-ferplus", *,
                   num_outputs: int = 8,
+                  dropout: float = 0.0,
                   use_bnorm: Optional[bool] = None,
                   tiny: bool = False):
     """Teacher zoo (ferPlusZoo.m:37-92 registry, 8-way CNTK head).
 
     ResNet/SENet names build `models/resnet.ResNet`; the classic VGG
     face names (CLASSIC_MODELS) build `models/vggface.VGGFace`.
-    ``use_bnorm`` is the reference's ``useBnorm`` insertion option
+    ``dropout`` is the reference's insert_dropout option
+    (ferPlusZoo.m:213-233): dropout after the last convs, before the
+    classifier. ``use_bnorm`` is the ``useBnorm`` insertion option
     (ferPlusZoo.m:123, insertBNLayers): it retrofits BatchNorm into the
     BN-less classics (default: on for the '-bn' names, off otherwise);
     the ResNet teachers carry BN inherently and ignore it.
@@ -256,21 +305,21 @@ def build_teacher(name: str = "senet50-ferplus", *,
 
         arch = "m" if name.startswith("vgg-m") else "vd"
         bn = ("-bn" in name) if use_bnorm is None else use_bnorm
-        kw = dict(arch=arch, use_batchnorm=bn, num_outputs=num_outputs)
+        kw = dict(arch=arch, use_batchnorm=bn, num_outputs=num_outputs,
+                  dropout_rate=dropout)
         if tiny:
             return VGGFace(width_multiplier=1 / 16, fc_features=64, **kw)
         return VGGFace(**kw)
-    if name not in TEACHER_MODELS + VGGFACE2_MODELS + (
-            "resnet50-face-sfew",):
-        raise KeyError(
-            f"unknown teacher {name!r}; known: "
-            f"{TEACHER_MODELS + VGGFACE2_MODELS + CLASSIC_MODELS}")
+    known = TEACHER_MODELS + VGGFACE2_MODELS + ("resnet50-face-sfew",)
+    if name not in known:
+        raise KeyError(f"unknown teacher {name!r}; known: "
+                       f"{known + CLASSIC_MODELS}")
     use_se = name.startswith("senet")
     if tiny:
         return ResNet(stage_sizes=(1, 1), width=8, use_se=use_se,
-                      num_outputs=num_outputs)
-    return SENet50(num_outputs=num_outputs) if use_se else ResNet50(
-        num_outputs=num_outputs)
+                      num_outputs=num_outputs, dropout_rate=dropout)
+    kw = dict(num_outputs=num_outputs, dropout_rate=dropout)
+    return SENet50(**kw) if use_se else ResNet50(**kw)
 
 
 # Dev-checkpoint registry (ferPlusZoo.m:63-92): development model names

@@ -434,3 +434,105 @@ def test_classic_vggface_mat_roundtrip(tmp_path, arch):
     ref = model.apply(jax.tree.map(jnp.asarray, variables), x)
     got = model.apply(jax.tree.map(jnp.asarray, loaded), x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_vggm_face_224_geometry_matches_matconvnet():
+    """The released vgg-m-face geometry: 224 -> fc6 kernel 6x6 (ceil
+    pooling, MatConvNet pad [0 1 0 1]). A VALID-pool implementation
+    would give 5x5 and released weights could not load."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.vggface import VGGFace
+
+    model = VGGFace(arch="m", use_batchnorm=True)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 224, 224, 3)))
+    fc6 = shapes["params"]["fc6"]["kernel"].shape
+    assert fc6[:2] == (6, 6), fc6
+    # VD-16 at 224: five 2x2 pools -> 7x7 fc6 (Parkhi et al.)
+    vd = VGGFace(arch="vd")
+    shapes = jax.eval_shape(vd.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 224, 224, 3)))
+    assert shapes["params"]["fc6"]["kernel"].shape[:2] == (7, 7)
+
+
+def test_prepare_classic_from_base(tmp_path):
+    """Classic base import + head-resize surgery: 20-way 'release' ->
+    8-way head at 1/100 scale, conv biases folded into BN means,
+    backbone embeddings bit-equal."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.vggface import VGGFace
+    from mcncrossmodalemotions_tpu.zoo import prepare_classic_from_base
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import vggface_layer_map
+
+    rng = np.random.RandomState(13)
+    base = VGGFace(arch="m", width_multiplier=1 / 16, fc_features=64,
+                   num_outputs=20, use_batchnorm=True)
+    x = jnp.asarray(rng.randn(2, 96, 96, 3).astype(np.float32) * 5.0)
+    bv = jax.device_get(base.init(jax.random.PRNGKey(2), x))
+    bv["batch_stats"] = jax.tree.map(
+        lambda a: (np.abs(rng.randn(*np.shape(a))) + 0.5).astype(np.float32),
+        bv["batch_stats"])
+    mat = _export_via_map(bv, vggface_layer_map("m", use_batchnorm=True))
+    # a released conv bias, compensated in the BN mean (net function
+    # unchanged) — the import must fold it back
+    bias = rng.randn(8).astype(np.float32)
+    mat["conv1_bias"] = bias
+    moments = mat["conv1_bn_moments"].copy()
+    moments[:, 0] += bias
+    mat["conv1_bn_moments"] = moments
+    mat_path = tmp_path / "vgg-m-face-bn.mat"
+    _save_dagnn_mat(mat_path, mat)
+
+    # build_teacher full-width differs from the tiny base; bypass via a
+    # module matching the release (the real path uses full widths)
+    import mcncrossmodalemotions_tpu.zoo.registry as registry
+    orig = registry.build_teacher
+    registry.build_teacher = lambda *a, **k: VGGFace(
+        arch="m", width_multiplier=1 / 16, fc_features=64,
+        num_outputs=k.get("num_outputs", 8), use_batchnorm=True)
+    try:
+        model, variables = prepare_classic_from_base(
+            mat_path, "vgg-m-face-bn", num_outputs=8, seed=0)
+    finally:
+        registry.build_teacher = orig
+    head = variables["params"]["prediction"]
+    assert np.asarray(head["kernel"]).shape[-1] == 8
+    assert abs(np.asarray(head["kernel"]).std() - 0.01) < 0.005
+    np.testing.assert_array_equal(np.asarray(head["bias"]), np.zeros(8))
+    # backbone parity incl. the bias fold: embeddings match the base
+    _, ref_emb = base.apply(jax.tree.map(jnp.asarray, bv), x,
+                            return_embedding=True)
+    _, got_emb = model.apply(jax.tree.map(jnp.asarray, variables), x,
+                             return_embedding=True)
+    np.testing.assert_allclose(np.asarray(got_emb), np.asarray(ref_emb),
+                               atol=1e-4)
+
+
+def test_ferplus_eval_only_rejects_fresh_head(tmp_path):
+    """evaluate_only on a base model whose head was just re-randomised
+    must error, not silently report chance accuracy."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.data.ferplus import build_synthetic_ferplus
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+    )
+    from mcncrossmodalemotions_tpu.models.resnet import ResNet
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import resnet50_layer_map
+
+    base = ResNet(stage_sizes=(1, 1), width=8, use_se=True, num_outputs=20)
+    bv = jax.device_get(base.init(jax.random.PRNGKey(0),
+                                  np.zeros((1, 32, 32, 3), np.float32)))
+    mat_path = tmp_path / "senet50_ft-dag.mat"
+    _save_dagnn_mat(mat_path, _export_via_map(
+        bv, resnet50_layer_map((1, 1), use_se=True)))
+    cfg = FerPlusConfig(model="senet50_ft-dag", batch_size=8,
+                        input_size=48, dropout=0.0, lr_values=(0.05,),
+                        lr_epochs=(1,), pretrained_mat=str(mat_path),
+                        out_root=str(tmp_path))
+    with pytest.raises(ValueError, match="re-initialised"):
+        ferplus_baselines(cfg, build_synthetic_ferplus(24),
+                          evaluate_only="val")
