@@ -101,12 +101,41 @@ def cmd_reproduce_ferplus(argv):
     return rmain(argv)
 
 
+def cmd_fetch(argv):
+    """Resolve released artifacts by name (download-on-miss).
+
+    Usage: fetch [name ...]   — no names lists the registry.
+    The reference's interactive y/n download prompts (emoVoxZoo.m:74-102)
+    become an explicit command.
+    """
+    from mcncrossmodalemotions_tpu.zoo.artifacts import (
+        ARTIFACTS,
+        artifact_path,
+        fetch_artifact,
+    )
+
+    if not argv:
+        for name, art in sorted(ARTIFACTS.items()):
+            state = "cached" if artifact_path(name).exists() else "absent"
+            print(f"{name:28s} [{art.kind}] {state:7s} {art.url}")
+        return 0
+    rc = 0
+    for name in argv:
+        try:
+            print(f"{name}: {fetch_artifact(name)}")
+        except Exception as exc:
+            print(f"{name}: FAILED — {exc}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
 COMMANDS = {
     "distill": cmd_distill,
     "ferplus": cmd_ferplus,
     "benchmark-ferplus": cmd_benchmark_ferplus,
     "reproduce-ferplus": cmd_reproduce_ferplus,
     "bench": cmd_bench,
+    "fetch": cmd_fetch,
 }
 
 

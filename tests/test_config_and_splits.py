@@ -215,3 +215,12 @@ def test_cli_distill_with_saved_imdb(tmp_path, monkeypatch):
     import pathlib
 
     assert list(pathlib.Path(tmp_path, "exps").rglob("net-epoch-1.msgpack"))
+
+
+def test_cli_fetch_lists_and_fails_cleanly(capsys):
+    from mcncrossmodalemotions_tpu.cli import main
+
+    assert main(["fetch"]) == 0
+    out = capsys.readouterr().out
+    assert "senet50-ferplus" in out and "vggface2" in out
+    assert main(["fetch", "no-such-artifact"]) == 1
