@@ -272,7 +272,9 @@ def bench_teacher(details: dict):
 
 def bench_fused_online(details: dict):
     """Fused online distillation: frozen SENet50 fwd + student step in ONE
-    XLA program (train/distill.py), bs32 x 2 frames."""
+    XLA program (train/distill.py), bs64 x 2 frames (bs sweep: 32 ->
+    1,491, 64 -> 1,663, 96 -> 1,659 utts/s — 64 is the knee and also
+    the reference's batchSize default, run_distillation.m:75)."""
     import jax
     import jax.numpy as jnp
 
@@ -287,7 +289,7 @@ def bench_fused_online(details: dict):
     from mcncrossmodalemotions_tpu.zoo import build_student, build_teacher
 
     rng = np.random.RandomState(0)
-    bs, k = 32, 2
+    bs, k = 64, 2
     crop = DEFAULT_SPEC.crop_samples(400)
     batch = {
         "data": jnp.asarray(rng.randn(bs, crop).astype(np.float32)),
