@@ -381,7 +381,7 @@ def bench_audio_feats(details: dict):
     model = VGGMStudent()
     x = np.zeros((1, 512, 100, 1), np.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
-    extractor = AudioFeatureExtractor(model, variables, batch_size=16)
+    extractor = AudioFeatureExtractor(model, variables, batch_size=64)
     paths = [str(Path(imdb.wav_dir) / p) for p in imdb.wav_paths]
     # warm EVERY (pad-shape, bucket) jit combination the set will hit —
     # a partial warm-up leaves 20-40 s compiles inside the measurement
