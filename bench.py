@@ -316,6 +316,8 @@ def bench_fused_online(details: dict):
     sec = _best_of(run, lambda: _sync(mbox[0]["loss"]), iters=10)
     details["fused_online_step_utts_per_sec"] = round(bs / sec, 2)
     details["fused_online_step_ms"] = round(sec * 1000, 2)
+    details["fused_online_step_bs"] = bs  # step_ms scales with bs —
+    # without this a bs change reads as a step-time regression
 
 
 def bench_dense_inference(details: dict):
@@ -381,7 +383,7 @@ def bench_audio_feats(details: dict):
     model = VGGMStudent()
     x = np.zeros((1, 512, 100, 1), np.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
-    extractor = AudioFeatureExtractor(model, variables, batch_size=64)
+    extractor = AudioFeatureExtractor(model, variables)  # shipped default
     paths = [str(Path(imdb.wav_dir) / p) for p in imdb.wav_paths]
     # warm EVERY (pad-shape, bucket) jit combination the set will hit —
     # a partial warm-up leaves 20-40 s compiles inside the measurement
@@ -391,6 +393,7 @@ def bench_audio_feats(details: dict):
     sec = time.perf_counter() - t0
     assert all(o is not None for o in out)
     details["audio_feats_tracks_per_sec"] = round(len(paths) / sec, 2)
+    details["audio_feats_batch_size"] = extractor.batch_size
 
 
 def bench_frontend(details: dict):
