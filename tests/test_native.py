@@ -242,3 +242,38 @@ def test_batcher_mixed_rate_per_file_fallback(tmp_path):
         for nb, pb in zip(native_batches, py_batches):
             np.testing.assert_allclose(nb["data"], pb["data"], atol=1e-7)
             np.testing.assert_array_equal(nb["max_label"], pb["max_label"])
+
+
+@needs_native
+def test_native_corrupt_wav_fails_cleanly(tmp_path, rng):
+    """Truncated/bogus wav files must fail the read (clean IOError via
+    the failure count), not crash or return garbage silently."""
+    good = tmp_path / "good.wav"
+    write_wav(good, rng.randn(20000).astype(np.float32) * 0.3, 16000)
+    # truncated header
+    trunc = tmp_path / "trunc.wav"
+    trunc.write_bytes(good.read_bytes()[:20])
+    # right magic, garbage chunks
+    bogus = tmp_path / "bogus.wav"
+    bogus.write_bytes(b"RIFF" + b"\xff" * 60)
+    for bad in (trunc, bogus):
+        with pytest.raises(IOError):
+            native.read_crops([str(bad)], [0], 1000)
+        if native.packed_reads_available():
+            with pytest.raises(IOError):
+                native.read_crops_packed([str(bad)], [0], 1000, "int16")
+    # a bad file must not poison the good one's row in a mixed batch
+    try:
+        native.read_crops([str(good), str(trunc)], [0, 0], 1000)
+    except IOError:
+        pass  # expected: the error carries the failure count
+    ref, _ = py_read_wav(good, 0, 1000)
+    out = native.read_crops([str(good)], [0], 1000)
+    np.testing.assert_allclose(out[0], ref, atol=1e-7)
+
+
+def test_python_corrupt_wav_fails_cleanly(tmp_path):
+    with pytest.raises((ValueError, IOError, EOFError)):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"RIFF" + b"\x00" * 8)
+        py_read_wav(bad, 0, 100)
