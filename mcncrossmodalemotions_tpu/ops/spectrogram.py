@@ -93,6 +93,14 @@ def hamming(n: int, dtype=np.float32) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _dft_matrices_np(win_length: int, nfft: int, windowed: bool = True):
+    if win_length > nfft:
+        # The matmul form would compute the WRAPPED (aliased) DFT here,
+        # whereas MATLAB's fft(x, nfft) truncates the segment — silently
+        # different numerics. The reference geometry is 400 <= 512; any
+        # custom config must keep win <= nfft.
+        raise ValueError(
+            f"win_length {win_length} > nfft {nfft}: unsupported "
+            "(matmul DFT would alias where MATLAB fft truncates)")
     k = np.arange(nfft // 2 + 1)
     i = np.arange(win_length)
     angle = -2.0 * np.pi * np.outer(i, k) / nfft

@@ -151,3 +151,43 @@ def test_spectrogram_independent_scipy_golden():
         got = np.asarray(spectrogram(jnp.asarray(wave[None])))[0]
         assert got.shape == want.shape == (512, frames)
         np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.parametrize("window_ms,hop_ms,nfft,fs", [
+    (16.0, 8.0, 256, 16000),    # shorter window, smaller FFT
+    (25.0, 12.5, 512, 8000),    # non-default rate + hop
+    (32.0, 8.0, 1024, 16000),   # long window, dense hop, big FFT
+])
+def test_spectrogram_matches_scipy_nondefault_configs(rng, window_ms,
+                                                      hop_ms, nfft, fs):
+    """Property check beyond the default-geometry golden: for arbitrary
+    SpecConfigs the magnitude must match an independent scipy
+    construction (preemph -> frame -> symmetric Hamming -> |FFT|)."""
+    from scipy.signal.windows import hamming as scipy_hamming
+
+    cfg = SpecConfig(sample_rate=fs, window_ms=window_ms, hop_ms=hop_ms,
+                     nfft=nfft)
+    win, hop = cfg.win_length, cfg.hop_length
+    n = hop * 40 + win
+    x = rng.randn(2, n).astype(np.float32)
+    got = np.asarray(spectrogram(jnp.asarray(x), cfg))
+
+    pre = np.concatenate([x[:, :1],
+                          x[:, 1:] - cfg.preemph * x[:, :-1]], axis=1)
+    t = (n - win) // hop + 1
+    w = scipy_hamming(win, sym=True)
+    ref = np.empty((2, nfft, t))
+    for b in range(2):
+        for i in range(t):
+            seg = pre[b, i * hop:i * hop + win].astype(np.float64) * w
+            ref[b, :, i] = np.abs(np.fft.fft(seg, nfft))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4 * np.sqrt(win / 400))
+
+
+def test_spectrogram_rejects_window_longer_than_nfft():
+    """win > nfft would alias where MATLAB's fft truncates — refuse."""
+    cfg = SpecConfig(window_ms=20.0, nfft=256)  # win 320 > 256
+    x = jnp.zeros((1, 4000))
+    with pytest.raises(ValueError, match="alias"):
+        spectrogram(x, cfg)
