@@ -278,3 +278,35 @@ def test_classic_teacher_ferplus_driver(tmp_path):
     import numpy as np
 
     assert np.isfinite(history[-1]["train"]["loss"])
+
+
+def test_bilinear_sampler_matches_scipy_map_coordinates(rng):
+    """Independent parity for the bilinear sampler (vl_nnbilinearsampler
+    twin): sampling at an affine grid must equal
+    scipy.ndimage.map_coordinates(order=1) at the same pixel
+    coordinates (align-corners [-1,1] -> pixel mapping, clamped
+    borders via mode='nearest')."""
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.ndimage import map_coordinates
+
+    from mcncrossmodalemotions_tpu.ops.warp import (
+        affine_grid,
+        bilinear_sample,
+    )
+
+    b, h, w = 2, 17, 23
+    images = rng.rand(b, h, w, 1).astype(np.float32)
+    theta = np.asarray(
+        [[[0.9, -0.12, 0.05], [0.1, 1.05, -0.08]],
+         [[1.1, 0.0, -0.2], [0.0, 0.8, 0.15]]], np.float32)
+    grid = np.asarray(affine_grid(jnp.asarray(theta), h, w))
+    got = np.asarray(bilinear_sample(jnp.asarray(images), jnp.asarray(grid)))
+
+    xs = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    ys = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    for k in range(b):
+        ref = map_coordinates(images[k, :, :, 0].astype(np.float64),
+                              [ys[k].ravel(), xs[k].ravel()],
+                              order=1, mode="nearest").reshape(h, w)
+        np.testing.assert_allclose(got[k, :, :, 0], ref, atol=2e-6)
