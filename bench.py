@@ -430,6 +430,24 @@ def bench_frontend(details: dict):
             _log(f"frontend {name} bench failed: {exc}")
 
 
+def _ensure_native_built():
+    """Best-effort (re)build of the C++ data service: the committed .so
+    is -march=native for the dev container; a different host gets a
+    fresh build, and a missing toolchain just means the bit-identical
+    Python fallbacks run (slower feed, same numbers)."""
+    import subprocess
+
+    from mcncrossmodalemotions_tpu.data import native
+
+    if native.available():
+        return
+    try:
+        subprocess.run(["make", "-C", str(Path(__file__).parent / "native")],
+                       capture_output=True, timeout=120)
+    except Exception as exc:
+        _log(f"native build unavailable ({exc}); using Python fallbacks")
+
+
 def main():
     import jax
 
@@ -441,6 +459,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass  # older jax without these options
+    _ensure_native_built()
 
     if "--e2e-worker" in sys.argv:
         emit_mulaw = sys.argv[sys.argv.index("--e2e-worker") + 1] == "mulaw8"
