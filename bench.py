@@ -430,22 +430,60 @@ def bench_frontend(details: dict):
             _log(f"frontend {name} bench failed: {exc}")
 
 
+def _native_probe_ok() -> bool:
+    """Smoke the .so in a SUBPROCESS: a committed -march=native binary
+    on an older CPU dies with SIGILL, and a missing shared-lib dep
+    raises on load — both must not take the bench process down."""
+    import subprocess
+
+    code = (
+        "import numpy as np, tempfile, os\n"
+        "from mcncrossmodalemotions_tpu.data import native\n"
+        "from mcncrossmodalemotions_tpu.data.audio import write_wav\n"
+        "assert native.available()\n"
+        "p = os.path.join(tempfile.mkdtemp(), 'probe.wav')\n"
+        "write_wav(p, np.zeros(400, np.float32), 16000)\n"
+        "assert native.wav_info(p)[0] == 400\n"
+    )
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=120,
+                              env={**__import__("os").environ,
+                                   "JAX_PLATFORMS": "cpu"},
+                              ).returncode == 0
+    except Exception:
+        return False
+
+
 def _ensure_native_built():
-    """Best-effort (re)build of the C++ data service: the committed .so
-    is -march=native for the dev container; a different host gets a
-    fresh build, and a missing toolchain just means the bit-identical
+    """Best-effort (re)build of the C++ data service. The committed .so
+    is -march=native for the dev container; on a different host the
+    subprocess probe fails (SIGILL/load error isolated there) and a
+    fresh make runs. A missing toolchain just means the bit-identical
     Python fallbacks run (slower feed, same numbers)."""
     import subprocess
 
-    from mcncrossmodalemotions_tpu.data import native
-
-    if native.available():
+    if _native_probe_ok():
         return
+    lib = Path(__file__).parent / "native" / "libdataservice.so"
     try:
-        subprocess.run(["make", "-C", str(Path(__file__).parent / "native")],
-                       capture_output=True, timeout=120)
+        proc = subprocess.run(
+            ["make", "-C", str(lib.parent), "-B"],
+            capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            _log("native build FAILED; using Python fallbacks:\n"
+                 + proc.stderr[-400:])
+        elif _native_probe_ok():
+            return
+        else:
+            _log("native library unusable after rebuild; Python fallbacks")
     except Exception as exc:
         _log(f"native build unavailable ({exc}); using Python fallbacks")
+    # An unusable .so must not stay where available() finds it — the
+    # benchmark processes would load it and crash instead of falling
+    # back to the (bit-identical) Python paths.
+    if lib.exists():
+        lib.rename(lib.with_suffix(".so.unusable"))
 
 
 def main():
@@ -459,12 +497,14 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass  # older jax without these options
-    _ensure_native_built()
 
     if "--e2e-worker" in sys.argv:
+        # Workers inherit the parent's build/probe result via the
+        # filesystem — no redundant probe+make inside each worker.
         emit_mulaw = sys.argv[sys.argv.index("--e2e-worker") + 1] == "mulaw8"
         print(json.dumps(_e2e_epoch_worker(emit_mulaw)))
         return
+    _ensure_native_built()
 
     full = "--full" in sys.argv
     quick = "--quick" in sys.argv

@@ -42,6 +42,17 @@ class SpecConfig:
     preemph: float = 0.97
     nfft: int = 512
 
+    def __post_init__(self):
+        # Guard at CONFIG construction so both frontends (jnp matmul and
+        # Pallas) are covered: for win > nfft a matrix DFT computes the
+        # WRAPPED (aliased) transform where MATLAB's fft(x, nfft)
+        # truncates — silently different numerics. Reference: 400 <= 512.
+        if self.win_length > self.nfft:
+            raise ValueError(
+                f"win_length {self.win_length} > nfft {self.nfft}: "
+                "unsupported (matmul DFT would alias where MATLAB fft "
+                "truncates)")
+
     @property
     def win_length(self) -> int:
         return int(round(self.sample_rate * self.window_ms / 1000.0))  # 400

@@ -262,18 +262,18 @@ def test_native_corrupt_wav_fails_cleanly(tmp_path, rng):
         if native.packed_reads_available():
             with pytest.raises(IOError):
                 native.read_crops_packed([str(bad)], [0], 1000, "int16")
-    # a bad file must not poison the good one's row in a mixed batch
-    try:
+    # a mixed batch raises (failure count), and the service stays
+    # healthy: the good file still reads correctly afterwards
+    with pytest.raises(IOError):
         native.read_crops([str(good), str(trunc)], [0, 0], 1000)
-    except IOError:
-        pass  # expected: the error carries the failure count
     ref, _ = py_read_wav(good, 0, 1000)
     out = native.read_crops([str(good)], [0], 1000)
     np.testing.assert_allclose(out[0], ref, atol=1e-7)
 
 
 def test_python_corrupt_wav_fails_cleanly(tmp_path):
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF" + b"\x00" * 8)  # written BEFORE raises: only
+    # the reader under test may satisfy the expectation
     with pytest.raises((ValueError, IOError, EOFError)):
-        bad = tmp_path / "bad.wav"
-        bad.write_bytes(b"RIFF" + b"\x00" * 8)
         py_read_wav(bad, 0, 100)

@@ -186,8 +186,8 @@ def test_spectrogram_matches_scipy_nondefault_configs(rng, window_ms,
 
 
 def test_spectrogram_rejects_window_longer_than_nfft():
-    """win > nfft would alias where MATLAB's fft truncates — refuse."""
-    cfg = SpecConfig(window_ms=20.0, nfft=256)  # win 320 > 256
-    x = jnp.zeros((1, 4000))
+    """win > nfft would alias where MATLAB's fft truncates — refused at
+    CONFIG construction so both the jnp and Pallas frontends (which
+    build their own DFT matrices) are covered."""
     with pytest.raises(ValueError, match="alias"):
-        spectrogram(x, cfg)
+        SpecConfig(window_ms=20.0, nfft=256)  # win 320 > 256
