@@ -549,6 +549,17 @@ def main():
                 except ValueError:
                     merged = {}
             merged.update(details)
+            # Host-link-bound metrics swing ~2x with the dev tunnel's
+            # health (documented in docs/PERF.md); keep an explicit
+            # best-observed line next to the latest so a bad-tunnel run
+            # doesn't silently erase what the pipeline can do.
+            for key in ("end_to_end_epoch_utts_per_sec",
+                        "end_to_end_epoch_utts_per_sec_mulaw8",
+                        "dense_inference_e2e_imgs_per_sec",
+                        "audio_feats_tracks_per_sec"):
+                if key in details:
+                    best = max(merged.get(f"{key}_best", 0.0), details[key])
+                    merged[f"{key}_best"] = round(best, 2)
             out.write_text(json.dumps(merged, indent=2) + "\n")
             _log("details -> bench_details.json: "
                  + json.dumps(details))
