@@ -171,43 +171,27 @@ def _emovox_from_mat_scipy(path, wav_dir, frame_dir, with_frames) -> EmoVoxImdb:
                       wav_dir=wav_dir, frame_dir=frame_dir, classes=EMOTIONS)
 
 
-def _h5_string(f, obj) -> str:
-    """Decode a MATLAB v7.3 string (uint16 codepoint array or ref)."""
-    if isinstance(obj, h5_ref_type()):
-        obj = f[obj]
-    arr = np.asarray(obj).reshape(-1)
-    return "".join(chr(int(c)) for c in arr)
-
-
-def h5_ref_type():
-    import h5py
-
-    return h5py.Reference
-
-
 def _emovox_from_mat_h5(path, wav_dir, frame_dir, with_frames) -> EmoVoxImdb:
     """MATLAB -v7.3 (HDF5) layout: cell arrays are object-reference
     datasets; strings are uint16 codepoint matrices; numeric arrays are
-    transposed (column-major storage)."""
+    transposed (column-major storage). Container conventions live in
+    utils/mat73 (shared with the zoo/matconvnet weight importer)."""
     import h5py
+
+    from mcncrossmodalemotions_tpu.utils import mat73
 
     with h5py.File(str(path), "r") as f:
         images = f["images"]
-
-        def str_cell(ds):
-            refs = np.asarray(ds).reshape(-1)
-            return np.asarray([_h5_string(f, r) for r in refs], dtype=object)
-
-        names = str_cell(images["name"])
-        speakers = str_cell(images["sp"])
+        names = mat73.string_cell(f, images["name"])
+        speakers = mat73.string_cell(f, images["sp"])
         set_id = np.asarray(images["set"]).reshape(-1).astype(np.int32)
-        logits_refs = np.asarray(f["wavLogits"]).reshape(-1)
         # v7.3 stores column-major: a MATLAB [F, 8] single arrives [8, F]
-        wav_logits = [np.atleast_2d(np.asarray(f[r], np.float32)).T
-                      for r in logits_refs]
+        wav_logits = [
+            np.atleast_2d(mat73.matlab_array(f, r).astype(np.float32))
+            for r in mat73.cell_refs(f["wavLogits"])]
         dense = None
         if with_frames and "denseFrames" in images:
-            frames = str_cell(images["denseFrames"])
+            frames = mat73.string_cell(f, images["denseFrames"])
             wav_ids = np.asarray(images["denseFramesWavIds"]).reshape(-1)
             dense = _group_dense_frames(frames, wav_ids, len(names))
     from mcncrossmodalemotions_tpu import EMOTIONS

@@ -140,9 +140,18 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
                     num_outputs=cfg.num_classes, seed=cfg.seed)
             teacher = dataclasses.replace(teacher, dropout_rate=cfg.dropout)
             fresh_head = True
+            # Normalise with the base release's own averageImage (classic
+            # vgg_face mean differs from the VGGFace2 default) — the
+            # reference reads meta off the loaded dag itself.
+            from mcncrossmodalemotions_tpu.zoo.registry import (
+                release_mean_rgb,
+            )
+
+            mean = release_mean_rgb(cfg.pretrained_mat)
+            mean_kw = {"mean_rgb": mean} if mean is not None else {}
             model = FaceTeacherPipeline(teacher=teacher,
                                         input_size=cfg.input_size,
-                                        augment=cfg.augment)
+                                        augment=cfg.augment, **mean_kw)
             pretrained_vars = {"params": {"teacher": tvars["params"]}}
             if "batch_stats" in tvars:
                 pretrained_vars["batch_stats"] = {

@@ -32,7 +32,18 @@ BN_EPSILON = 1e-5  # MatConvNet vl_nnbnorm default epsilon
 
 
 def load_mat_params(path: str | Path) -> Dict[str, np.ndarray]:
-    """Flat {param_name: array} from a DagNN/SimpleNN ``.mat`` file."""
+    """Flat {param_name: array} from a DagNN/SimpleNN ``.mat`` file.
+
+    Handles both containers the release sites actually ship: the classic
+    .mat (scipy.io) and MATLAB ``-v7.3``/HDF5 — the format MATLAB is
+    forced into for >2 GB saves, so the large VGGFace2/vgg-vd dags
+    plausibly use it (the released logits imdb demonstrably does,
+    data/imdb.py). Dispatch mirrors ``emovox_imdb_from_mat``.
+    """
+    from mcncrossmodalemotions_tpu.utils import mat73
+
+    if mat73.is_hdf5(path):
+        return _load_mat_params_h5(path)
     import scipy.io
 
     mat = scipy.io.loadmat(str(path), struct_as_record=False,
@@ -58,8 +69,78 @@ def load_mat_params(path: str | Path) -> Dict[str, np.ndarray]:
     return params
 
 
+def _load_mat_params_h5(path: str | Path) -> Dict[str, np.ndarray]:
+    """``-v7.3`` container read (utils/mat73 conventions).
+
+    DagNN: ``net/params`` is a struct-array group whose ``name``/``value``
+    fields are per-element object references. SimpleNN: ``net/layers`` is
+    a cell of references to layer groups carrying ``name`` + a
+    ``weights`` cell. Numeric values arrive column-major and are
+    transposed back to the MATLAB (HWCN) shape.
+    """
+    import h5py
+
+    from mcncrossmodalemotions_tpu.utils import mat73
+
+    params: Dict[str, np.ndarray] = {}
+    with h5py.File(str(path), "r") as f:
+        net = f["net"] if "net" in f else f
+        if "params" in net:  # DagNN
+            grp = net["params"]
+            names = mat73.cell_refs(grp["name"])
+            values = mat73.cell_refs(grp["value"])
+            for nref, vref in zip(names, values):
+                params[mat73.matlab_string(f, nref)] = (
+                    mat73.matlab_array(f, vref))
+        elif "layers" in net:  # SimpleNN
+            for lref in mat73.cell_refs(net["layers"]):
+                layer = mat73.deref(f, lref)
+                if "weights" not in layer:
+                    continue
+                name = mat73.matlab_string(f, layer["name"])
+                weights = mat73.cell_refs(layer["weights"])
+                for i, wref in enumerate(weights):
+                    suffix = ["f", "b", "m"][i] if i < 3 else str(i)
+                    params[f"{name}_{suffix}"] = (
+                        mat73.matlab_array(f, wref))
+        else:
+            raise ValueError(f"{path}: no net/params or net/layers found")
+    return params
+
+
+def _load_mat_meta_h5(path: str | Path) -> dict:
+    import h5py
+
+    from mcncrossmodalemotions_tpu.utils import mat73
+
+    meta: dict = {}
+    with h5py.File(str(path), "r") as f:
+        net = f["net"] if "net" in f else f
+        m = net.get("meta") if hasattr(net, "get") else None
+        if m is None:
+            return meta
+        norm = m.get("normalization")
+        if norm is not None:
+            for field in ("imageSize", "averageImage"):
+                if field in norm:
+                    meta[field] = mat73.matlab_array(f, norm[field])
+        classes = m.get("classes")
+        if classes is not None:
+            names = classes.get("name", classes)
+            meta["classes"] = [str(s)
+                               for s in mat73.string_cell(f, names)]
+    return meta
+
+
 def load_mat_meta(path: str | Path) -> dict:
-    """Normalization meta (imageSize, averageImage, classes) if present."""
+    """Normalization meta (imageSize, averageImage, classes) if present.
+
+    Container dispatch as in ``load_mat_params`` (classic vs -v7.3).
+    """
+    from mcncrossmodalemotions_tpu.utils import mat73
+
+    if mat73.is_hdf5(path):
+        return _load_mat_meta_h5(path)
     import scipy.io
 
     mat = scipy.io.loadmat(str(path), struct_as_record=False, squeeze_me=True)

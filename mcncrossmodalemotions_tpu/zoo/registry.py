@@ -241,6 +241,32 @@ def prepare_classic_from_base(mat_path, name, *, num_outputs: int = 8,
     return model, variables
 
 
+def release_mean_rgb(mat_path, download: bool = True):
+    """Per-channel mean from a release's ``normalization.averageImage``.
+
+    Returns an RGB 3-tuple or None. Classic releases store a full
+    HxWx3 average IMAGE (vgg_face) while the VGGFace2 dags store a
+    3-vector; a full image is reduced to its per-channel means (what
+    subtracting it approximates once crops are random). Used wherever a
+    FaceTeacherPipeline is built around imported weights, so the
+    pipeline normalises with the release's own statistics
+    (ferplus_baselines.m:194-213 reads meta from the loaded dag).
+    """
+    import numpy as np
+
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import load_mat_meta
+
+    avg = load_mat_meta(resolve_release(mat_path,
+                                        download=download)).get("averageImage")
+    if avg is None:
+        return None
+    avg = np.asarray(avg, np.float64)
+    if avg.size <= 3:
+        return tuple(float(v) for v in avg.reshape(-1)[:3])
+    return tuple(float(v) for v in avg.reshape(-1, avg.shape[-1])
+                 .mean(axis=0)[:3])
+
+
 def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
                             input_size: int = 224, augment: bool = False,
                             download: bool = True):
@@ -256,10 +282,7 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
     nested under the 'teacher' submodule. ``mat_path`` may be a registry
     name ('senet50-ferplus'), resolved download-on-miss.
     """
-    import numpy as np
-
-    from mcncrossmodalemotions_tpu.zoo.matconvnet import (import_teacher,
-                                                          load_mat_meta)
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import import_teacher
 
     mat_path = resolve_release(mat_path, download=download)
 
@@ -271,12 +294,8 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
         from mcncrossmodalemotions_tpu.models.teacher_pipeline import (
             FaceTeacherPipeline)
 
-        meta = load_mat_meta(mat_path)
-        avg = meta.get("averageImage")
-        kw = {}
-        if avg is not None:
-            kw["mean_rgb"] = tuple(float(v) for v in
-                                   np.asarray(avg).reshape(-1)[:3])
+        mean = release_mean_rgb(mat_path, download=download)
+        kw = {"mean_rgb": mean} if mean is not None else {}
         model = FaceTeacherPipeline(teacher=model, input_size=input_size,
                                     augment=augment, **kw)
         variables = {"params": {"teacher": variables["params"]},

@@ -24,8 +24,17 @@ from mcncrossmodalemotions_tpu.zoo.matconvnet import (
 )
 
 
-def _save_dagnn_mat(path, named_params):
-    """Write {name: value} as a DagNN-style net.params struct array."""
+def _save_dagnn_mat(path, named_params, container="classic"):
+    """Write {name: value} as a DagNN-style net.params struct array.
+
+    ``container='classic'`` uses scipy.io (pre-v7.3 .mat);
+    ``container='v73'`` emulates MATLAB's ``-v7.3`` HDF5 layout —
+    object-reference struct fields, uint16 strings, column-major
+    (transposed) numerics — the format MATLAB mandates for >2 GB
+    releases (the container risk VERDICT round 2 flagged).
+    """
+    if container == "v73":
+        return _save_dagnn_mat_v73(path, named_params)
     import scipy.io
 
     dtype = [("name", object), ("value", object)]
@@ -33,6 +42,45 @@ def _save_dagnn_mat(path, named_params):
     for i, (name, value) in enumerate(named_params.items()):
         arr[i] = (name, value)
     scipy.io.savemat(path, {"net": {"params": arr}})
+
+
+def _h5_str(refs_grp, key, s):
+    return refs_grp.create_dataset(
+        key, data=np.asarray([[ord(c)] for c in s], np.uint16))
+
+
+def _save_dagnn_mat_v73(path, named_params, average_image=None,
+                        classes=None):
+    """MATLAB -v7.3 emulation: net/params struct-array group whose
+    name/value fields are per-element refs into /#refs#."""
+    import h5py
+
+    ref_dtype = h5py.special_dtype(ref=h5py.Reference)
+    with h5py.File(path, "w") as f:
+        refs = f.create_group("#refs#")
+        net = f.create_group("net")
+        grp = net.create_group("params")
+        n = len(named_params)
+        name_ds = grp.create_dataset("name", shape=(n, 1), dtype=ref_dtype)
+        value_ds = grp.create_dataset("value", shape=(n, 1), dtype=ref_dtype)
+        for i, (name, value) in enumerate(named_params.items()):
+            name_ds[i, 0] = _h5_str(refs, f"n{i}", name).ref
+            value = np.asarray(value)
+            # column-major storage: reversed axes
+            value_ds[i, 0] = refs.create_dataset(f"v{i}", data=value.T).ref
+        if average_image is not None or classes is not None:
+            meta = net.create_group("meta")
+            if average_image is not None:
+                norm = meta.create_group("normalization")
+                norm.create_dataset(
+                    "averageImage",
+                    data=np.asarray(average_image, np.float32).reshape(-1, 1))
+            if classes is not None:
+                cls = meta.create_group("classes")
+                cell = cls.create_dataset("name", shape=(len(classes), 1),
+                                          dtype=ref_dtype)
+                for i, c in enumerate(classes):
+                    cell[i, 0] = _h5_str(refs, f"c{i}", c).ref
 
 
 def _flax_to_matconvnet(variables):
@@ -78,10 +126,12 @@ def tiny_student_vars():
     return model, variables, x
 
 
-def test_mat_roundtrip_forward_parity(tmp_path, tiny_student_vars):
+@pytest.mark.parametrize("container", ["classic", "v73"])
+def test_mat_roundtrip_forward_parity(tmp_path, tiny_student_vars, container):
     model, variables, x = tiny_student_vars
     mat_path = tmp_path / "student.mat"
-    _save_dagnn_mat(mat_path, _flax_to_matconvnet(jax.device_get(variables)))
+    _save_dagnn_mat(mat_path, _flax_to_matconvnet(jax.device_get(variables)),
+                    container=container)
 
     params = load_mat_params(mat_path)
     assert "conv1f" in params and "bn3m" in params
@@ -233,14 +283,16 @@ def _tiny_teacher_release(use_se, rng):
     return model, variables, x, _export_via_map(variables, lmap)
 
 
-@pytest.mark.parametrize("use_se", [False, True])
-def test_teacher_mat_roundtrip_forward_parity(tmp_path, use_se):
+@pytest.mark.parametrize("use_se,container",
+                         [(False, "classic"), (True, "classic"),
+                          (False, "v73"), (True, "v73")])
+def test_teacher_mat_roundtrip_forward_parity(tmp_path, use_se, container):
     from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
 
     rng = np.random.RandomState(4)
     model, variables, x, mat = _tiny_teacher_release(use_se, rng)
     mat_path = tmp_path / "teacher.mat"
-    _save_dagnn_mat(mat_path, mat)
+    _save_dagnn_mat(mat_path, mat, container=container)
 
     loaded_model, loaded_vars = load_pretrained_teacher(mat_path)
     # architecture inferred from param names/shapes alone
@@ -428,7 +480,9 @@ def test_classic_vggface_mat_roundtrip(tmp_path, arch):
         variables["batch_stats"])
     lmap = vggface_layer_map(arch, use_batchnorm=True)
     mat_path = tmp_path / f"vggface_{arch}.mat"
-    _save_dagnn_mat(mat_path, _export_via_map(variables, lmap))
+    container = "v73" if arch == "vd" else "classic"  # cover both readers
+    _save_dagnn_mat(mat_path, _export_via_map(variables, lmap),
+                    container=container)
 
     loaded = import_classic_teacher(mat_path, model)
     ref = model.apply(jax.tree.map(jnp.asarray, variables), x)
@@ -508,6 +562,102 @@ def test_prepare_classic_from_base(tmp_path):
                              return_embedding=True)
     np.testing.assert_allclose(np.asarray(got_emb), np.asarray(ref_emb),
                                atol=1e-4)
+
+
+def test_v73_meta_and_pipeline_mean(tmp_path):
+    """-v7.3 release meta: averageImage + classes decode through
+    load_mat_meta, and load_pretrained_teacher(with_pipeline=True) wires
+    the release's mean into the FaceTeacherPipeline (the container the
+    round-2 verdict flagged as the parity gateway risk)."""
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import load_mat_meta
+
+    rng = np.random.RandomState(11)
+    _, _, _, mat = _tiny_teacher_release(True, rng)
+    mat_path = tmp_path / "release_v73.mat"
+    avg = [129.1863, 104.7624, 93.5940]  # classic vgg_face mean
+    _save_dagnn_mat_v73(mat_path, mat, average_image=avg,
+                        classes=["neutral", "happiness"])
+
+    meta = load_mat_meta(mat_path)
+    np.testing.assert_allclose(np.asarray(meta["averageImage"]).reshape(-1),
+                               avg, rtol=1e-6)
+    assert meta["classes"] == ["neutral", "happiness"]
+
+    pipeline, variables = load_pretrained_teacher(mat_path,
+                                                  with_pipeline=True,
+                                                  input_size=48)
+    np.testing.assert_allclose(pipeline.mean_rgb, avg, rtol=1e-5)
+    assert "teacher" in variables["params"]
+
+
+def test_release_mean_rgb_vector_and_image(tmp_path):
+    """release_mean_rgb handles both averageImage layouts: the VGGFace2
+    3-vector and the classic full HxWx3 average image (vgg_face), which
+    reduces to per-channel means — used by the ferplus_baselines base
+    surgery path so classic bases don't inherit the VGGFace2 default."""
+    import scipy.io
+
+    from mcncrossmodalemotions_tpu.zoo.registry import release_mean_rgb
+
+    vec_path = tmp_path / "vec.mat"
+    scipy.io.savemat(vec_path, {"net": {
+        "params": np.zeros((1,), dtype=[("name", object), ("value", object)]),
+        "meta": {"normalization": {
+            "averageImage": np.array([129.2, 104.8, 93.6], np.float32)}},
+    }})
+    np.testing.assert_allclose(release_mean_rgb(vec_path),
+                               (129.2, 104.8, 93.6), rtol=1e-5)
+
+    rng = np.random.RandomState(3)
+    img = rng.uniform(80, 160, (4, 4, 3)).astype(np.float32)
+    img_path = tmp_path / "img.mat"
+    scipy.io.savemat(img_path, {"net": {
+        "params": np.zeros((1,), dtype=[("name", object), ("value", object)]),
+        "meta": {"normalization": {"averageImage": img}},
+    }})
+    np.testing.assert_allclose(release_mean_rgb(img_path),
+                               img.reshape(-1, 3).mean(0), rtol=1e-5)
+
+    none_path = tmp_path / "none.mat"
+    scipy.io.savemat(none_path, {"net": {
+        "params": np.zeros((1,), dtype=[("name", object), ("value", object)])}})
+    assert release_mean_rgb(none_path) is None
+
+
+def test_v73_simplenn_layers_layout(tmp_path):
+    """-v7.3 SimpleNN container: net/layers cell of layer-group refs with
+    per-layer weights cells -> the same <name>_{f,b,m} flat params the
+    classic SimpleNN reader produces."""
+    import h5py
+
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import load_mat_params
+
+    rng = np.random.RandomState(12)
+    conv1f = rng.randn(3, 3, 2, 4).astype(np.float32)
+    conv1b = rng.randn(4).astype(np.float32)
+    path = tmp_path / "simplenn_v73.mat"
+    ref_dtype = h5py.special_dtype(ref=h5py.Reference)
+    with h5py.File(path, "w") as f:
+        refs = f.create_group("#refs#")
+        net = f.create_group("net")
+        layers = net.create_dataset("layers", shape=(2, 1), dtype=ref_dtype)
+        lg = refs.create_group("L0")
+        lg.create_dataset("name", data=np.asarray(
+            [[ord(c)] for c in "conv1"], np.uint16))
+        wcell = lg.create_dataset("weights", shape=(2, 1), dtype=ref_dtype)
+        wcell[0, 0] = refs.create_dataset("w0", data=conv1f.T).ref
+        wcell[1, 0] = refs.create_dataset("w1", data=conv1b).ref
+        layers[0, 0] = lg.ref
+        relu = refs.create_group("L1")  # weight-less layer: skipped
+        relu.create_dataset("name", data=np.asarray(
+            [[ord(c)] for c in "relu1"], np.uint16))
+        layers[1, 0] = relu.ref
+
+    params = load_mat_params(path)
+    assert set(params) == {"conv1_f", "conv1_b"}
+    np.testing.assert_allclose(params["conv1_f"], conv1f, rtol=1e-6)
+    np.testing.assert_allclose(params["conv1_b"], conv1b, rtol=1e-6)
 
 
 def test_ferplus_eval_only_rejects_fresh_head(tmp_path):
