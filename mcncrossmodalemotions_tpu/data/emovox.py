@@ -41,6 +41,28 @@ LOGIT_STRIDE = 6  # teacher logits every 6th frame
 
 
 @dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    """Noise-corpus augmentation (getBatchEmoVoxCeleb.m:122-131).
+
+    The reference mixes noise from a DEDICATED corpus of numbered wavs:
+    ``meta.noise.noisedir/%02d.wav`` with ``noisenum`` files each at
+    least ``noiselen`` samples, picking a random file + random offset
+    and mixing at ratio ``rand * noisevol``. ``noise_len=None`` infers
+    each file's length from its header instead of assuming a corpus-wide
+    constant.
+    """
+
+    noise_dir: str
+    num_files: int               # meta.noise.noisenum
+    noise_vol: float = 0.3       # meta.noise.noisevol
+    noise_len: Optional[int] = None  # meta.noise.noiselen (samples)
+
+    def file_path(self, index: int) -> Path:
+        """1-based numbered corpus filename ('%02d.wav')."""
+        return Path(self.noise_dir) / f"{index:02d}.wav"
+
+
+@dataclasses.dataclass(frozen=True)
 class BatchConfig:
     """Batch-loader options (run_distillation.m:71-89 defaults)."""
 
@@ -50,7 +72,8 @@ class BatchConfig:
     logit_aggregator: str = "max"  # 'max' | 'mean'
     num_pred_emotions: int = 8
     speed_aug: bool = False
-    noise_aug: bool = False
+    noise_aug: bool = False    # corpus-free fallback: mix another clip
+    noise: Optional[NoiseConfig] = None  # reference corpus semantics
     frames_per_crop: int = 0   # >0: emit face frames for online distillation
     frame_size: int = 224
     emit_int16: bool = True    # ship PCM16 crops (half the feed bytes;
@@ -60,6 +83,10 @@ class BatchConfig:
                                # the bytes, ~38 dB SNR) — opt-in for
                                # link-bound hosts; overrides emit_int16
     spec: SpecConfig = DEFAULT_SPEC
+
+    @property
+    def noise_enabled(self) -> bool:
+        return self.noise_aug or self.noise is not None
 
     @property
     def num_frames(self) -> int:
@@ -139,6 +166,36 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
     return samples.astype(np.float32), t0, info.duration
 
 
+def mix_corpus_noise(samples: np.ndarray, ncfg: NoiseConfig,
+                     rng: np.random.RandomState,
+                     target_fs: int) -> np.ndarray:
+    """Reference corpus mix (getBatchEmoVoxCeleb.m:122-131): random
+    numbered file (``randi(noisenum)``), random offset within
+    ``noiselen - numel(z)``, mix ratio ``rand * noisevol``.
+
+    Exactly three RNG draws per sample, in the reference's order
+    (file, offset, ratio), taken AFTER the crop draws so the crop RNG
+    stream is identical with or without corpus noise.
+    """
+    need = len(samples)
+    idx = int(rng.randint(1, ncfg.num_files + 1))
+    path = ncfg.file_path(idx)
+    total = ncfg.noise_len
+    if total is None:
+        total = wav_info(path).num_samples
+    max_start = max(total - need, 0)
+    start = int(rng.randint(0, max_start + 1)) if max_start > 0 else 0
+    noise, fs = read_wav(path, start, need)
+    if fs != target_fs:
+        from mcncrossmodalemotions_tpu.data.audio import resample_to
+
+        noise = resample_to(noise, fs, target_fs)
+    if len(noise) < need:
+        noise = np.pad(noise, (0, need - len(noise)))
+    ratio = float(rng.uniform(0.0, ncfg.noise_vol))
+    return (samples + ratio * noise[:need]).astype(np.float32)
+
+
 def make_targets(logit_window: np.ndarray, cfg: BatchConfig) -> Dict[str, np.ndarray]:
     """Loss-specific target dict for one sample (:28-44)."""
     logits = logit_window[: cfg.num_pred_emotions].astype(np.float32)
@@ -188,7 +245,7 @@ class EmoVoxBatcher:
         rng = np.random.RandomState(self.seed * 1000 + epoch) if self.train else None
         wav_root = Path(self.imdb.wav_dir)
         use_native = False
-        if not (self.train and (cfg.speed_aug or cfg.noise_aug)):
+        if not (self.train and (cfg.speed_aug or cfg.noise_enabled)):
             from mcncrossmodalemotions_tpu.data import native as native_ds
 
             use_native = native_ds.available()
@@ -206,13 +263,17 @@ class EmoVoxBatcher:
         waves, targets, starts_times = [], [], []
         for j in chunk:
             noise_path = None
-            if rng is not None and cfg.noise_aug:
+            if rng is not None and cfg.noise_aug and cfg.noise is None:
+                # corpus-free fallback: mix a random OTHER dataset clip
                 k = int(rng.randint(0, self.imdb.num_tracks))
                 noise_path = str(wav_root / self.imdb.wav_paths[k])
             samples, t0, _ = load_crop(
                 str(wav_root / self.imdb.wav_paths[j]), cfg,
                 rng=rng, noise_path=noise_path,
             )
+            if rng is not None and cfg.noise is not None:
+                samples = mix_corpus_noise(samples, cfg.noise, rng,
+                                           cfg.spec.sample_rate)
             t1 = t0 + cfg.num_seconds
             window = aggregate_logits(self.imdb.wav_logits[j], t0, t1,
                                       cfg.logit_aggregator)

@@ -71,6 +71,14 @@ class DistillationConfig:
     # Quarter-bandwidth mu-law uint8 waveform feed (data/audio.pack_mulaw8,
     # decoded on device) — opt-in for link-bound hosts; ~38 dB SNR.
     mulaw_feed: bool = False
+    # Augmentation (the reference's transformation-string settings,
+    # getBatchEmoVoxCeleb.m:63,217-231): speed perturbation 0.95-1.05 and
+    # noise-corpus mixing from numbered wavs in ``noise_dir``
+    # (meta.noise.*, :122-131). noise_num=0 disables the corpus.
+    speed_aug: bool = False
+    noise_dir: Optional[str] = None
+    noise_num: int = 0
+    noise_vol: float = 0.3
 
     def exp_name(self) -> str:
         """Experiment identity encoding (run_distillation.m:95-105) + hash.
@@ -91,6 +99,12 @@ class DistillationConfig:
                     self.dropout, self.seed, self.tiny_model,
                     self.online_teacher, self.lr_start_exp,
                     self.lr_stop_exp, self.weight_decay)
+        if self.speed_aug or self.noise_num > 0:
+            # Augmentation changes the training distribution — identity-
+            # defining; appended only when set so default hashes stay
+            # stable.
+            identity += ("speed" if self.speed_aug else "",
+                         self.noise_num, self.noise_vol)
         if self.mulaw_feed:
             # The lossy mu-law feed (~38 dB SNR) changes the input
             # numerics, so it IS identity-defining — a mu-law run must
@@ -158,12 +172,24 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         imdb = EmoVoxImdb.load(imdb_path)
 
     train_imdb, val_imdb = split_imdb(imdb, cfg.mini_val, cfg.seed)
+    noise = None
+    if cfg.noise_num > 0:
+        if cfg.noise_dir is None:
+            raise ValueError("noise_num > 0 requires noise_dir "
+                             "(meta.noise.noisedir)")
+        from mcncrossmodalemotions_tpu.data.emovox import NoiseConfig
+
+        noise = NoiseConfig(noise_dir=cfg.noise_dir,
+                            num_files=cfg.noise_num,
+                            noise_vol=cfg.noise_vol)
     bcfg = BatchConfig(
         num_seconds=cfg.num_seconds,
         batch_size=cfg.batch_size,
         loss_type=cfg.loss_type,
         logit_aggregator=cfg.logit_aggregator,
         num_pred_emotions=cfg.num_pred_emotions,
+        speed_aug=cfg.speed_aug,
+        noise=noise,
         frames_per_crop=cfg.frames_per_crop if cfg.online_teacher else 0,
         frame_size=cfg.frame_size,
         emit_mulaw=cfg.mulaw_feed,

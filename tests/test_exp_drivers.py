@@ -336,6 +336,114 @@ def test_batcher_speed_and_noise_aug_trains(emovox_imdb, tmp_path):
     assert np.isfinite(stats["loss"])
 
 
+def _write_noise_corpus(root, num_files=3, value=0.25, seconds=5.0,
+                        fs=16000):
+    """Numbered constant-valued wavs (meta.noise.noisedir layout)."""
+    from pathlib import Path
+
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+
+    root = Path(root)
+    for i in range(1, num_files + 1):
+        write_wav(root / f"{i:02d}.wav",
+                  np.full(int(seconds * fs), value, np.float32), fs)
+    return root
+
+
+def test_mix_corpus_noise_reference_semantics(tmp_path):
+    """mix_corpus_noise reproduces getBatchEmoVoxCeleb.m:122-131 exactly:
+    draws (file, offset, ratio) in order, numbered '%02d.wav' files,
+    mix = z + rand*noisevol * y."""
+    from mcncrossmodalemotions_tpu.data.audio import read_wav
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        NoiseConfig,
+        mix_corpus_noise,
+    )
+
+    corpus = _write_noise_corpus(tmp_path / "noise", num_files=3)
+    ncfg = NoiseConfig(noise_dir=str(corpus), num_files=3, noise_vol=0.4)
+    need = 1000
+    from pathlib import Path
+
+    corpus = Path(corpus)
+    clean = np.random.RandomState(0).randn(need).astype(np.float32)
+
+    got = mix_corpus_noise(clean.copy(), ncfg,
+                           np.random.RandomState(7), target_fs=16000)
+    # replicate the three draws with an identically seeded rng
+    rng = np.random.RandomState(7)
+    idx = int(rng.randint(1, 4))
+    total = 5 * 16000
+    start = int(rng.randint(0, total - need + 1))
+    noise, _ = read_wav(corpus / f"{idx:02d}.wav", start, need)
+    ratio = float(rng.uniform(0.0, 0.4))
+    np.testing.assert_allclose(got, clean + ratio * noise, atol=1e-6)
+    assert 0.0 <= ratio <= 0.4
+
+
+def test_noise_corpus_batcher(emovox_imdb, tmp_path):
+    """Batcher with an on-disk noise corpus: deterministic per seed,
+    crop RNG stream unchanged for the first sample (noise draws come
+    after the crop draws), and the first-row mixture is clean + ratio *
+    constant within the noisevol bound."""
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        BatchConfig,
+        EmoVoxBatcher,
+        NoiseConfig,
+    )
+
+    value = 0.25
+    corpus = _write_noise_corpus(tmp_path / "noise", value=value)
+    ncfg = NoiseConfig(noise_dir=str(corpus), num_files=3, noise_vol=0.4)
+    noisy_cfg = BatchConfig(batch_size=4, noise=ncfg, emit_int16=False)
+    clean_cfg = BatchConfig(batch_size=4, emit_int16=False)
+    assert noisy_cfg.noise_enabled and not clean_cfg.noise_enabled
+
+    noisy = next(iter(EmoVoxBatcher(emovox_imdb, noisy_cfg, train=True,
+                                    seed=0).batches(epoch=1)))
+    again = next(iter(EmoVoxBatcher(emovox_imdb, noisy_cfg, train=True,
+                                    seed=0).batches(epoch=1)))
+    np.testing.assert_array_equal(noisy["data"], again["data"])
+
+    clean = next(iter(EmoVoxBatcher(emovox_imdb, clean_cfg, train=True,
+                                    seed=0).batches(epoch=1)))
+    # first sample: crop start drawn BEFORE any noise draw -> same crop,
+    # so the residual is exactly ratio * corpus constant
+    diff = noisy["data"][0] - clean["data"][0]
+    assert diff.std() < 1e-4, "first-row crop shifted by corpus draws"
+    ratio = float(diff.mean()) / value
+    assert 0.0 <= ratio <= 0.4 + 1e-6
+    assert not np.array_equal(noisy["data"], clean["data"])
+    # targets ride the same crops on row 0
+    np.testing.assert_allclose(noisy["logit_target"][0],
+                               clean["logit_target"][0])
+
+
+def test_distillation_config_noise_corpus(emovox_imdb, tmp_path):
+    """run_distillation plumbs noise_dir/noise_num/noise_vol into the
+    batcher (and the exp identity hash changes when augmented)."""
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+
+    corpus = _write_noise_corpus(tmp_path / "noise")
+    cfg = DistillationConfig(num_epochs=1, batch_size=4, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             noise_dir=str(corpus), noise_num=3,
+                             out_root=str(tmp_path / "exp"))
+    plain = DistillationConfig(num_epochs=1, batch_size=4, tiny_model=True,
+                               mini_epoch_ratio=1.0, mini_val=1.0,
+                               out_root=str(tmp_path / "exp"))
+    assert cfg.exp_name() != plain.exp_name()
+    _, history, _ = run_distillation(cfg, imdb=emovox_imdb, mesh=None)
+    assert np.isfinite(history[-1]["train"]["loss"])
+    with pytest.raises(ValueError, match="noise_dir"):
+        run_distillation(
+            DistillationConfig(noise_num=2, out_root=str(tmp_path / "e2")),
+            imdb=emovox_imdb, mesh=None)
+
+
 def test_sample_audio_frame_sequence_copy(tmp_path):
     """opts.sampleFrameSeq (sample_audio.m:180-198): the full sorted frame
     sequence is copied as frames 00001.jpg.. next to each sample."""

@@ -131,3 +131,46 @@ def test_benchmark_outputs(workflow):
     assert 0.0 <= result.mean_accuracy <= 1.0
     assert result.confusion.shape == (3, 3)
     assert (workflow["root"] / "figs" / "synthetic-confusion.pdf").exists()
+
+
+def test_distillation_convergence_regression(tmp_path):
+    """Distillation LEARNING regression (the DEMO.md trajectory as CI):
+    a seeded tiny-model run on the synthetic imdb must reach unheardVal
+    meanAuc > 0.7 — above-chance emotion AUC on a held-out speaker is
+    the paper's core claim, and the reference guarded trained-model
+    quality with cached benchmark regressions
+    (benchmark_ferplus_models.m:42-60). Fully deterministic (seeded data,
+    seeded init, deterministic CPU math); measured headroom 0.767 at
+    this recipe (~2 min).
+    """
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+        compute_audio_feats,
+    )
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+    from mcncrossmodalemotions_tpu.exp.student_stats import student_stats
+    from mcncrossmodalemotions_tpu.zoo import build_student
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=4,
+                                tracks_per_speaker=6, seed=0)
+    cfg = DistillationConfig(num_epochs=10, batch_size=8, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             lr_start_exp=-1.5, lr_stop_exp=-2.0,
+                             out_root=str(tmp_path / "exps"))
+    state, history, _ = run_distillation(cfg, imdb=imdb, mesh=None)
+    # the loss stack must have improved over the run, not just wiggled
+    assert history[-1]["train"]["classerror"] < history[0]["train"]["classerror"]
+
+    bare = build_student(tiny=True, with_frontend=False)
+    bare_vars = {"params": state.params["net"],
+                 "batch_stats": state.model_state["batch_stats"]["net"]}
+    logits = compute_audio_feats(imdb, model=bare, variables=bare_vars,
+                                 verbose=False)
+    stats = student_stats(imdb, student_logits=logits, verbose=False)
+    auc = stats["unheardVal"]["meanAuc"]
+    assert auc > 0.7, (
+        f"unheardVal meanAuc {auc:.3f} <= 0.7 — distillation stopped "
+        "learning (regression in the loss/batcher/engine stack)")
