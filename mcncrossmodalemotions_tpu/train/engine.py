@@ -50,6 +50,7 @@ class TrainConfig:
     exp_dir: str = "exp"
     resume: bool = True  # the reference's 'continue' option
     checkpoint_every: int = 1
+    checkpoint_backend: str = "msgpack"  # 'orbax' for sharded/multi-host
     log_every: int = 20
     # Observability (SURVEY.md section 5.1/5.2): optional jax.profiler
     # trace of the first train epoch, and a NaN tripwire replacing the
@@ -396,7 +397,8 @@ class Trainer:
             logger.log(record)
             history.append(record)
             if epoch % cfg.checkpoint_every == 0 or epoch == cfg.num_epochs:
-                ckpt_lib.save_checkpoint(cfg.exp_dir, epoch, state, record)
+                ckpt_lib.save_checkpoint(cfg.exp_dir, epoch, state, record,
+                                         backend=cfg.checkpoint_backend)
             print(
                 f"epoch {epoch}/{cfg.num_epochs} done: "
                 + " ".join(
