@@ -430,10 +430,14 @@ def bench_frontend(details: dict):
             _log(f"frontend {name} bench failed: {exc}")
 
 
-def _native_probe_ok() -> bool:
+def _native_probe_ok() -> str:
     """Smoke the .so in a SUBPROCESS: a committed -march=native binary
     on an older CPU dies with SIGILL, and a missing shared-lib dep
-    raises on load — both must not take the bench process down."""
+    raises on load — both must not take the bench process down.
+
+    Returns 'ok', 'crash' (nonzero exit: SIGILL/load/assert — the
+    binary itself is bad) or 'timeout' (inconclusive: a loaded host can
+    blow the 120 s budget with a perfectly good .so)."""
     import subprocess
 
     code = (
@@ -446,13 +450,16 @@ def _native_probe_ok() -> bool:
         "assert native.wav_info(p)[0] == 400\n"
     )
     try:
-        return subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, timeout=120,
-                              env={**__import__("os").environ,
-                                   "JAX_PLATFORMS": "cpu"},
-                              ).returncode == 0
+        rc = subprocess.run([sys.executable, "-c", code],
+                            capture_output=True, timeout=120,
+                            env={**__import__("os").environ,
+                                 "JAX_PLATFORMS": "cpu"},
+                            ).returncode
+        return "ok" if rc == 0 else "crash"
+    except subprocess.TimeoutExpired:
+        return "timeout"
     except Exception:
-        return False
+        return "timeout"  # environment issue, not evidence against the .so
 
 
 def _ensure_native_built():
@@ -461,9 +468,22 @@ def _ensure_native_built():
     subprocess probe fails (SIGILL/load error isolated there) and a
     fresh make runs. A missing toolchain just means the bit-identical
     Python fallbacks run (slower feed, same numbers)."""
+    import os
     import subprocess
 
-    if _native_probe_ok():
+    def disable_softly(reason):
+        # Inconclusive probe (timeout on a loaded host): skip native in
+        # THIS run via an env flag the worker subprocesses inherit —
+        # never rename the committed .so on weak evidence.
+        _log(f"native probe inconclusive ({reason}); disabling native "
+             "for this run (MCNCME_DISABLE_NATIVE=1)")
+        os.environ["MCNCME_DISABLE_NATIVE"] = "1"
+
+    outcome = _native_probe_ok()
+    if outcome == "ok":
+        return
+    if outcome == "timeout":
+        disable_softly("probe timeout")
         return
     lib = Path(__file__).parent / "native" / "libdataservice.so"
     try:
@@ -473,17 +493,64 @@ def _ensure_native_built():
         if proc.returncode != 0:
             _log("native build FAILED; using Python fallbacks:\n"
                  + proc.stderr[-400:])
-        elif _native_probe_ok():
-            return
         else:
+            outcome = _native_probe_ok()
+            if outcome == "ok":
+                return
+            if outcome == "timeout":
+                disable_softly("post-rebuild probe timeout")
+                return
             _log("native library unusable after rebuild; Python fallbacks")
+    except subprocess.TimeoutExpired:
+        disable_softly("make timeout")
+        return
     except Exception as exc:
         _log(f"native build unavailable ({exc}); using Python fallbacks")
-    # An unusable .so must not stay where available() finds it — the
-    # benchmark processes would load it and crash instead of falling
+    # A binary that CRASHES must not stay where available() finds it —
+    # the benchmark processes would load it and die instead of falling
     # back to the (bit-identical) Python paths.
     if lib.exists():
         lib.rename(lib.with_suffix(".so.unusable"))
+
+
+def bench_link_health(details: dict):
+    """Tunnel-health proxy: wire time for a fixed 8 MB host->device put.
+
+    Host-link-bound metrics swing ~2x with the dev tunnel's health; this
+    one number, recorded alongside every run in bench_history.jsonl,
+    lets a reader separate "pipeline regressed" from "bad tunnel window"
+    (VERDICT r2 weak #2)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    arr = np.random.RandomState(0).randn(2 * 1024 * 1024).astype(np.float32)
+    reduce = jax.jit(jnp.sum)
+    # warm the dispatch path once with a tiny put
+    _sync(reduce(jax.device_put(arr[:128])))
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        _sync(reduce(jax.device_put(arr)))
+        times.append(time.monotonic() - t0)
+    sec = min(times)
+    details["link_put_mb_per_sec"] = round(8.0 / sec, 2)
+
+
+def _append_history(details: dict) -> None:
+    """One JSONL row per bench run (committed bench_history.jsonl): the
+    audit trail behind the `*_best` ratchets in bench_details.json."""
+    import time
+
+    row = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+           "argv": sys.argv[1:], **details}
+    path = Path(__file__).parent / "bench_history.jsonl"
+    try:
+        with path.open("a") as f:
+            f.write(json.dumps(row, default=float) + "\n")
+    except OSError as exc:
+        _log(f"could not append bench_history.jsonl: {exc}")
 
 
 def main():
@@ -521,6 +588,10 @@ def main():
             _log(f"end_to_end sub-benchmark failed: {exc}")
     details.update({"device_kind": jax.devices()[0].device_kind,
                     "backend": jax.default_backend()})
+    try:
+        bench_link_health(details)
+    except Exception as exc:
+        _log(f"link-health probe failed: {exc}")
 
     utts_per_sec = bench_train_step(details)
     if not quick:
@@ -566,6 +637,7 @@ def main():
         except OSError as exc:
             _log(f"could not write bench_details.json: {exc}")
 
+    _append_history(details)
     print(json.dumps({
         "metric": "distillation_train_throughput",
         "value": round(utts_per_sec, 2),

@@ -117,7 +117,8 @@ def ferplus_batches(imdb: FerPlusImdb, subset: int, batch_size: int,
                     shuffle: bool = False, seed: int = 0,
                     drop_remainder: bool = False,
                     data_type: str = "CNTK",
-                    augment: bool = False):
+                    augment: bool = False,
+                    augment_out_size=None):
     """Yield host batches: uint8 images + hard labels + vote distributions.
 
     The host ships native-resolution (48x48) uint8 — 2.3 kB/image. With
@@ -140,7 +141,7 @@ def ferplus_batches(imdb: FerPlusImdb, subset: int, batch_size: int,
         if augment:
             from mcncrossmodalemotions_tpu.ops.warp import augment_batch_np
 
-            data = augment_batch_np(data, rng)
+            data = augment_batch_np(data, rng, out_size=augment_out_size)
         yield {
             "data": data,
             "hard_label": imdb.hard_labels[chunk],

@@ -25,6 +25,13 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    import os
+
+    if os.environ.get("MCNCME_DISABLE_NATIVE"):
+        # Soft kill-switch (inherited by worker subprocesses): used by
+        # bench.py when the health probe is inconclusive (e.g. timeout
+        # on a loaded host) — the committed .so stays in place.
+        return None
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))

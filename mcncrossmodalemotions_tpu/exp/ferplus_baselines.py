@@ -54,6 +54,13 @@ class FerPlusConfig:
     weight_decay: float = 5e-4
     finetune_lr: float = 0.1  # backbone LR multiplier (ferplus_baselines.m:74)
     augment: bool = True
+    # Single-resample augmentation (the reference's composition,
+    # ferplus_baselines.m:194-213): host warps straight to input_size in
+    # ONE bilinear sample instead of warp@48 + device resize. Measured
+    # equivalent on the synthetic benchmark (docs/PERF.md round-4
+    # resample study) but (input_size/48)^2 more host work + feed bytes;
+    # default keeps the 48x48 host warp.
+    augment_at_target: bool = False
     input_size: int = 224
     seed: int = 0
     out_root: str = "exps"
@@ -72,6 +79,10 @@ class FerPlusConfig:
                     self.seed, self.tiny_model, self.dev, self.finetune_lr,
                     self.pretrained_mat)  # fine-tune-from-release runs
                     # must not share (and resume from) a scratch run's dir
+        if self.augment_at_target:
+            # different augmented-image numerics -> different identity;
+            # appended only when set so default hashes stay stable
+            identity += ("aug-at-target",)
         return f"ferplus-{self.model}-{self.loss_type}-{config_hash(identity)}"
 
 
@@ -225,7 +236,11 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
                                       seed=cfg.seed + epoch,
                                       drop_remainder=True,
                                       data_type=data_type,
-                                      augment=cfg.augment),
+                                      augment=cfg.augment,
+                                      augment_out_size=(
+                                          cfg.input_size
+                                          if cfg.augment_at_target
+                                          else None)),
         val_batches_fn=lambda epoch: ferplus_batches(
             imdb, 2, cfg.batch_size, data_type=data_type),
         state=pretrained_state,

@@ -37,7 +37,12 @@ EXPECTED_ACCURACY: Dict[str, Dict[str, float]] = {
     "senet50-ferplus": {"valAcc": 0.898, "testAcc": 0.888},
 }
 # MatConvNet->Flax import crosses bf16 conv stacks + resize kernels;
-# half a percentage point is the documented acceptance band.
+# half a percentage point is the documented acceptance band. The
+# augmentation double-resample deviation contributes ~nothing to it:
+# measured single- vs double-resample training differs by +0.009 with a
+# 0.15 seed std — two of three seeds bit-identical accuracy
+# (tools/ablate_ferplus_resample.py; docs/PERF.md round-4 resample
+# study) — so the band covers bf16 numerics + run variance only.
 DEFAULT_TOLERANCE = 0.005
 
 MODELS = (("resnet50-ferplus", "softmaxlog"),

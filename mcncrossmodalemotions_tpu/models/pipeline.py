@@ -38,6 +38,7 @@ class AudioStudentPipeline(nn.Module):
     fc6_features: int = 4096
     fc7_features: int = 1024
     head_init_scale: float = 1e-4  # emoVoxZoo.m:210-243 scratch init
+    conv1_s2d: bool = True  # models/vggm.SpaceToDepthConv1 (same params)
 
     def setup(self):
         # Constructed here (never passed in) so the submodule is always
@@ -49,6 +50,7 @@ class AudioStudentPipeline(nn.Module):
             fc6_features=self.fc6_features,
             fc7_features=self.fc7_features,
             head_init_scale=self.head_init_scale,
+            conv1_s2d=self.conv1_s2d,
         )
 
     def frontend(self, x: jax.Array, valid_frames=None) -> jax.Array:

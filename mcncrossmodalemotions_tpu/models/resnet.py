@@ -95,9 +95,15 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] | None = None  # override for tiny test configs
     use_se: bool = False
     width: int = 64
-    dropout_rate: float = 0.0  # ferPlusZoo insert_dropout (:213-233):
-                               # dropout after the last convs, i.e. on
-                               # the pooled embedding before the head
+    dropout_rate: float = 0.0  # ferPlusZoo insert_dropout (:213-233).
+                               # DELIBERATE DEVIATION (PARITY.md): the
+                               # reference inserts dropout after the
+                               # last TWO conv layers
+                               # (convLayers(end-2:end-1)); here a
+                               # single dropout acts on the pooled
+                               # embedding before the head — one mask
+                               # instead of two spatial masks inside
+                               # the final bottleneck
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     head_init_scale: float = 0.01  # ferPlusZoo.m head re-init, scale 1/100

@@ -49,6 +49,57 @@ def temporal_valid_frames(w, same_pad_convs: bool = True):
     return w
 
 
+class SpaceToDepthConv1(nn.Module):
+    """conv1 in space-to-depth form: 7x7/s2 on Cin=1 == 4x4/s1 on Cin=4.
+
+    A 1-input-channel 7x7 conv gives the MXU no contraction depth, and
+    its INPUT-gradient (a stride-2 transposed conv back to the
+    [B, 512, 400, 1] layout) is the single most layout-hostile op in the
+    student's backward. Re-laying input (2x2 space-to-depth) and kernel
+    (in-graph, from the CANONICAL [7, 7, Cin, F] param — zero-padded to
+    8x8 then regrouped) turns it into a stride-1 Cin=4 conv: measured on
+    v5e at the train shape, fwd 4.43 -> 4.10 ms and fwd+bwd
+    18.77 -> 9.86 ms (1.9x; tools/probe_conv1_s2d.py, docs/PERF.md).
+
+    Because the parameter stays [7, 7, Cin, F] with the same name/path,
+    checkpoints, released-weight import (zoo/matconvnet.py) and surgery
+    are untouched; gradients flow through the re-lay back to the
+    canonical layout. Falls back to the caller's plain conv for odd
+    spatial extents (the s2d grid needs even H and W).
+    """
+
+    features: int = 96
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from jax import lax
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features), self.param_dtype)
+        b, h, w, c = x.shape
+        z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # w2[a, b, (2di+dj)*cin + c, f] = kernel[2a+di, 2b+dj, c, f]
+        wp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        w2 = wp.reshape(4, 2, 4, 2, cin, self.features)
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin,
+                                                    self.features)
+        dn = lax.conv_dimension_numbers(z.shape, w2.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            z.astype(self.dtype), w2.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID", dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class VGGMStudent(nn.Module):
     """VGG-M audio emotion student.
 
@@ -62,6 +113,8 @@ class VGGMStudent(nn.Module):
     fc7_features: int = 1024
     dropout_rate: float = 0.0
     use_batchnorm: bool = True
+    conv1_s2d: bool = True  # space-to-depth conv1 (SpaceToDepthConv1);
+                            # identical params/geometry, 1.9x fwd+bwd
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     head_init_scale: float = 1e-4  # reference scratch head init (emoVoxZoo.m:210-243)
@@ -89,7 +142,14 @@ class VGGMStudent(nn.Module):
             return nn.relu(h)
 
         # conv1 .. conv5 with interleaved max-pools (VGGVox VGG-M stack)
-        x = nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID", name="conv1", **conv_kw)(x)
+        if self.conv1_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = SpaceToDepthConv1(
+                features=96, use_bias=not self.use_batchnorm,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="conv1")(x)
+        else:  # odd extents: the s2d grid doesn't tile — plain conv
+            x = nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID",
+                        name="conv1", **conv_kw)(x)
         x = bn_relu(x, "1")
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = nn.Conv(256, (5, 5), strides=(2, 2), padding="VALID", name="conv2", **conv_kw)(x)

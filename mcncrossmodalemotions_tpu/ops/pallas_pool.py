@@ -1,5 +1,12 @@
 """Pallas max-pool kernels for the student's overlapping 3x3/stride-2 pools.
 
+STATUS: kept UNWIRED. On the current Mosaic the implemented Pallas
+forward measures 15.6 ms vs XLA reduce_window's 6.4 ms at the pool1
+shape (2.4x slower; docs/PERF.md round-3 pool study) — the models keep
+``nn.max_pool``. ``max_pool_3x3s2`` is bit-exact-tested and ready to
+wire if a future Mosaic lowers the stride-2 column selection well; do
+NOT wire it expecting a speedup without re-measuring on hardware.
+
 The VGGVox stack's mpool1/mpool2 (models/vggm.py) are the train step's
 biggest non-MXU cost. Profiling on v5e (tools/profile_train_step.py,
 docs/PERF.md) decomposes XLA's lowering at the pool1 shape

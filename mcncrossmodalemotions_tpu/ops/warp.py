@@ -236,11 +236,20 @@ def warp_images_np(images, theta, out_height: int, out_width: int):
     return top * (1 - wy) + bot * wy
 
 
-def augment_batch_np(images, rng, **theta_kwargs):
-    """Host-side augmentation for a uint8 image batch (same size in/out)."""
+def augment_batch_np(images, rng, out_size=None, **theta_kwargs):
+    """Host-side augmentation for a uint8 image batch.
+
+    ``out_size=None`` warps at the native resolution (same size in/out —
+    the default split: device resizes later, two resamplings total).
+    ``out_size=S`` composes warp AND resize into ONE bilinear sample to
+    [B, S, S, C] — the reference's single-resample composition
+    (ferplus_baselines.m:194-213); costs (S/48)^2 more host arithmetic
+    and feed bytes (docs/PERF.md round-4 resample study).
+    """
     import numpy as np
 
     b, h, w, _ = images.shape
+    oh = ow = out_size if out_size is not None else h
     theta = random_augmentation_thetas_np(rng, b, **theta_kwargs)
-    warped = warp_images_np(images, theta, h, w)
+    warped = warp_images_np(images, theta, oh, ow)
     return np.clip(np.round(warped), 0, 255).astype(np.uint8)

@@ -310,3 +310,45 @@ def test_bilinear_sampler_matches_scipy_map_coordinates(rng):
                               [ys[k].ravel(), xs[k].ravel()],
                               order=1, mode="nearest").reshape(h, w)
         np.testing.assert_allclose(got[k, :, :, 0], ref, atol=2e-6)
+
+
+def test_conv1_s2d_matches_plain_conv(student):
+    """SpaceToDepthConv1 is numerically the SAME function as the plain
+    7x7/s2 conv1: identical param tree, matching logits on even extents,
+    and an automatic plain-conv fallback on odd widths."""
+    model, variables = student
+    plain = VGGMStudent(fc6_features=64, fc7_features=32, conv1_s2d=False)
+    # identical variable trees (same names, shapes) — checkpoints and
+    # released-weight imports are layout-agnostic
+    s2d_shapes = jax.tree.map(jnp.shape, variables)
+    plain_shapes = jax.tree.map(
+        jnp.shape, jax.eval_shape(plain.init, jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 512, 400, 1))))
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b,
+                                     s2d_shapes, plain_shapes))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 512, 400, 1).astype(np.float32))
+    ref = plain.apply(variables, x)
+    got = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)  # bf16 accum order
+
+    # odd width: s2d path must fall back, same variables still apply
+    x_odd = jnp.asarray(rng.randn(1, 512, 399, 1).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(model.apply(variables, x_odd)),
+                               np.asarray(plain.apply(variables, x_odd)),
+                               atol=1e-6)
+
+
+def test_conv1_s2d_init_equals_plain_init():
+    """Param init draws are identical across the two conv1 forms (same
+    param path/shape/initializer), so seeded from-scratch runs don't
+    fork on the layout choice."""
+    x = jnp.zeros((1, 512, 400, 1))
+    v_s2d = VGGMStudent(fc6_features=64, fc7_features=32).init(
+        jax.random.PRNGKey(7), x)
+    v_plain = VGGMStudent(fc6_features=64, fc7_features=32,
+                          conv1_s2d=False).init(jax.random.PRNGKey(7), x)
+    for a, b in zip(jax.tree.leaves(v_s2d), jax.tree.leaves(v_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
