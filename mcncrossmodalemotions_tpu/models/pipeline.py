@@ -56,16 +56,13 @@ class AudioStudentPipeline(nn.Module):
     def frontend(self, x: jax.Array, valid_frames=None) -> jax.Array:
         # int16 PCM decode happens inside the spectrogram ops (shared by
         # every consumer of the batchers' compact feed format).
-        if self.use_pallas_frontend:
-            from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import (
-                spectrogram_pallas,
-            )
+        from mcncrossmodalemotions_tpu.ops.spectrogram import (
+            waveform_to_input,
+        )
 
-            spec = spectrogram_pallas(x, self.spec)
-        else:
-            spec = spectrogram(x, self.spec)
-        spec = instance_norm(spec, valid_frames=valid_frames)
-        return jax.lax.stop_gradient(spec[..., None])
+        feats = waveform_to_input(x, self.spec, valid_frames=valid_frames,
+                                  use_pallas=self.use_pallas_frontend)
+        return jax.lax.stop_gradient(feats)
 
     def __call__(self, x: jax.Array, train: bool = False,
                  valid_frames=None, return_embedding: bool = False):

@@ -184,20 +184,67 @@ def mirror_bins(half: jax.Array, nfft: int) -> jax.Array:
     return jnp.concatenate([half, half[..., nfft // 2 - 1:0:-1]], axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _preemph_dft_kernel_np(win_length: int, nfft: int,
+                           alpha: float) -> np.ndarray:
+    """Fused preemphasis+window+DFT as ONE conv kernel [win+1, 1, 2*rbins].
+
+    For a frame starting at sample s, the windowed DFT of the
+    preemphasised signal y[n] = x[n] - alpha*x[n-1] is a linear function
+    of x[s-1 .. s+win-1]:
+
+        sum_i M[i] y[s+i] = sum_j K[j] x[s-1+j]
+        K[0] = -alpha*M[0];  K[j] = M[j-1] - alpha*M[j] (1<=j<win);
+        K[win] = M[win-1]
+
+    so the whole preemph->frame->window->DFT chain is a single stride-hop
+    VALID conv over the 1-left-zero-padded waveform (the zero pad
+    reproduces MATLAB filter()'s zero initial condition at s=0, and for
+    s>0 the real x[s-1] is used exactly as global preemphasis does).
+    Channels stack [cos | sin]. Built in float64, cast to float32.
+    """
+    cos_m, sin_m = _dft_matrices_np(win_length, nfft, windowed=True)
+    m = np.concatenate([cos_m, sin_m], axis=1).astype(np.float64)  # [win, 2R]
+    k = np.zeros((win_length + 1, m.shape[1]), np.float64)
+    k[0] = -alpha * m[0]
+    k[1:win_length] = m[:-1] - alpha * m[1:]
+    k[win_length] = m[-1]
+    return k[:, None, :].astype(np.float32)  # [win+1, 1, 2R] (WIO)
+
+
+def spectrogram_half_frames(x: jax.Array,
+                            cfg: SpecConfig = DEFAULT_SPEC) -> jax.Array:
+    """[..., N] waveform -> [..., T, nfft//2+1] non-redundant magnitudes.
+
+    The hot formulation: ONE strided 1-D convolution fuses preemphasis,
+    framing, Hamming window and the rFFT (cos+sin channels) — no
+    [T, win] frames tensor is ever materialised in HBM (the previous
+    gather-based framing cost 2.5x read amplification and gathers are
+    pathological on this TPU runtime; measured in docs/PERF.md round-4
+    frontend study). HIGHEST precision: default bf16 operand truncation
+    costs ~4% magnitude error, unacceptable for the frontend every
+    downstream number depends on.
+    """
+    x = decode_pcm(x)
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    kernel = jnp.asarray(_preemph_dft_kernel_np(cfg.win_length, cfg.nfft,
+                                                cfg.preemph))
+    xp = jnp.pad(x.reshape(-1, n), ((0, 0), (1, 0)))[..., None]  # [B, N+1, 1]
+    out = jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=(cfg.hop_length,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # [B, T, 2R]
+    r = cfg.num_rbins
+    re, im = out[..., :r], out[..., r:]
+    half = jnp.sqrt(re * re + im * im)
+    return half.reshape(*lead, *half.shape[1:])
+
+
 def spectrogram_frames(x: jax.Array, cfg: SpecConfig = DEFAULT_SPEC) -> jax.Array:
     """[..., N] waveform -> [..., T, nfft] magnitude frames (time-major)."""
-    x = preemphasis(x, cfg.preemph)
-    frames = frame_signal(x, cfg.win_length, cfg.hop_length)
-    cos_m, sin_m = dft_matrices(cfg.win_length, cfg.nfft)
-    # HIGHEST precision: the default matmul precision truncates operands to
-    # bf16, which costs ~4% magnitude error — unacceptable for a frontend
-    # whose output every downstream number depends on.
-    re = jnp.matmul(frames, cos_m, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, sin_m, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-    half = jnp.sqrt(re * re + im * im)
-    return mirror_bins(half, cfg.nfft)
+    return mirror_bins(spectrogram_half_frames(x, cfg), cfg.nfft)
 
 
 def spectrogram(x: jax.Array, cfg: SpecConfig = DEFAULT_SPEC) -> jax.Array:
@@ -244,12 +291,21 @@ def waveform_to_input(x: jax.Array, cfg: SpecConfig = DEFAULT_SPEC,
 
     ``use_pallas`` routes the framing+DFT through the fused Pallas TPU
     kernel (ops/pallas_spectrogram.py); numerics match the jnp path.
+
+    The jnp path normalises the NON-REDUNDANT half spectrum and mirrors
+    afterwards: mirrored bins share magnitudes, hence per-bin time
+    statistics, so the result is identical while the multi-pass
+    instance-norm touches half the bytes (docs/PERF.md round-4 frontend
+    study).
     """
     if use_pallas:
         from mcncrossmodalemotions_tpu.ops.pallas_spectrogram import spectrogram_pallas
 
         spec = spectrogram_pallas(x, cfg)
-    else:
-        spec = spectrogram(x, cfg)
-    spec = instance_norm(spec, valid_frames=valid_frames)
+        spec = instance_norm(spec, valid_frames=valid_frames)
+        return spec[..., None]
+    half = jnp.swapaxes(spectrogram_half_frames(x, cfg), -1, -2)  # [B, R, T]
+    half = instance_norm(half, valid_frames=valid_frames)
+    spec = jnp.concatenate(
+        [half, half[..., cfg.nfft // 2 - 1:0:-1, :]], axis=-2)
     return spec[..., None]

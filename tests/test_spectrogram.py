@@ -191,3 +191,45 @@ def test_spectrogram_rejects_window_longer_than_nfft():
     build their own DFT matrices) are covered."""
     with pytest.raises(ValueError, match="alias"):
         SpecConfig(window_ms=20.0, nfft=256)  # win 320 > 256
+
+
+def test_fused_conv_frontend_matches_matmul_framing():
+    """The one-conv frontend (preemph+frame+window+DFT fused; round-4)
+    equals the explicit preemph -> gather-framing -> matmul chain, and
+    norm-before-mirror equals mirror-before-norm (mirrored bins share
+    per-bin time statistics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.ops.spectrogram import (
+        DEFAULT_SPEC,
+        dft_matrices,
+        frame_signal,
+        instance_norm,
+        mirror_bins,
+        preemphasis,
+        spectrogram_half_frames,
+        waveform_to_input,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, DEFAULT_SPEC.crop_samples(50))
+                    .astype(np.float32) * 0.3)
+
+    y = preemphasis(x, DEFAULT_SPEC.preemph)
+    frames = frame_signal(y, DEFAULT_SPEC.win_length, DEFAULT_SPEC.hop_length)
+    cos_m, sin_m = dft_matrices(DEFAULT_SPEC.win_length, DEFAULT_SPEC.nfft)
+    re = jnp.matmul(frames, cos_m, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, sin_m, precision=jax.lax.Precision.HIGHEST)
+    ref_half = np.asarray(jnp.sqrt(re * re + im * im))
+
+    got_half = np.asarray(spectrogram_half_frames(x))
+    np.testing.assert_allclose(got_half, ref_half, atol=2e-4, rtol=2e-4)
+
+    # end-to-end input: half-norm-then-mirror == mirror-then-norm
+    ref_full = instance_norm(
+        jnp.swapaxes(mirror_bins(jnp.asarray(ref_half), DEFAULT_SPEC.nfft),
+                     -1, -2))
+    got = np.asarray(waveform_to_input(x))[..., 0]
+    np.testing.assert_allclose(got, np.asarray(ref_full),
+                               atol=2e-3, rtol=2e-3)
