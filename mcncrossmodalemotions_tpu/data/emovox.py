@@ -120,11 +120,16 @@ def aggregate_logits(wav_logits: np.ndarray, t0: float, t1: float,
 
 def load_crop(wav_path: str | Path, cfg: BatchConfig,
               rng: Optional[np.random.RandomState] = None,
-              noise_path: Optional[str] = None):
+              noise_path: Optional[str] = None,
+              start_seconds: Optional[float] = None):
     """Read one crop; returns (samples[crop_samples], t0_seconds, duration).
 
     Deterministic (start-anchored) when ``rng is None`` — the val-set 'vI'
     behavior; random crop start + optional augmentation otherwise.
+    ``start_seconds`` pins the crop start explicitly — the reference's
+    ``fixedSegments``/``timeOffsets`` mode (getBatchEmoVoxCeleb.m:91-99):
+    no crop-position draw, segment read at the given offset, zero-padded
+    past the clip end.
     """
     info = wav_info(wav_path)
     fs = cfg.spec.sample_rate
@@ -144,8 +149,19 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
         4 if factor != 1.0 else 0
     )
 
-    max_start = max(total - need_native, 0)
-    start = int(rng.randint(0, max_start + 1)) if (rng is not None and max_start > 0) else 0
+    if start_seconds is not None:
+        # fixedSegments: the caller pins the offset; the reference reads
+        # at wr = timeOffsets(ii)*fs+1 without range-checking and pads
+        # only at the clip end — clamp to a valid read here and keep the
+        # requested t0 for bookkeeping.
+        # the reference skips the DATASET_LIMIT cap in this mode
+        # (getBatchEmoVoxCeleb.m:81-89) — clamp only to the real file
+        start = min(max(int(round(start_seconds * native_fs)), 0),
+                    max(info.num_samples - 1, 0))
+        total = min(info.num_samples, start + need_native)  # allow tail
+    else:
+        max_start = max(total - need_native, 0)
+        start = int(rng.randint(0, max_start + 1)) if (rng is not None and max_start > 0) else 0
     samples, got_fs = read_wav(wav_path, start, min(need_native, total - start))
     if got_fs != fs:
         from mcncrossmodalemotions_tpu.data.audio import resample_to
@@ -219,11 +235,21 @@ class EmoVoxBatcher:
     """
 
     def __init__(self, imdb: EmoVoxImdb, cfg: BatchConfig, train: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, time_offsets=None):
+        """``time_offsets`` ([num_tracks] seconds, optional) enables the
+        reference's fixedSegments mode (run_distillation.m:86,220 +
+        getBatchEmoVoxCeleb.m:91-99,136-138): every crop starts at its
+        track's pinned offset (no random draw) and the loss target
+        aggregates over the track's WHOLE logit sequence."""
         self.imdb = imdb
         self.cfg = cfg
         self.train = train
         self.seed = seed
+        self.time_offsets = (None if time_offsets is None
+                             else np.asarray(time_offsets, np.float64))
+        if self.time_offsets is not None:
+            assert len(self.time_offsets) == imdb.num_tracks, (
+                "time_offsets must give one offset per track")
 
     def epoch_indices(self, epoch: int, epoch_size: Optional[int] = None) -> np.ndarray:
         """Shuffled (train) or in-order (val) indices; epoch_size subsamples
@@ -267,16 +293,25 @@ class EmoVoxBatcher:
                 # corpus-free fallback: mix a random OTHER dataset clip
                 k = int(rng.randint(0, self.imdb.num_tracks))
                 noise_path = str(wav_root / self.imdb.wav_paths[k])
+            offset = (None if self.time_offsets is None
+                      else float(self.time_offsets[j]))
             samples, t0, _ = load_crop(
                 str(wav_root / self.imdb.wav_paths[j]), cfg,
-                rng=rng, noise_path=noise_path,
+                rng=rng, noise_path=noise_path, start_seconds=offset,
             )
             if rng is not None and cfg.noise is not None:
                 samples = mix_corpus_noise(samples, cfg.noise, rng,
                                            cfg.spec.sample_rate)
-            t1 = t0 + cfg.num_seconds
-            window = aggregate_logits(self.imdb.wav_logits[j], t0, t1,
-                                      cfg.logit_aggregator)
+            if offset is not None:
+                # fixedSegments: targets from the WHOLE track
+                # (getBatchEmoVoxCeleb.m:136-138 lgts_sampled = lgts)
+                window = aggregate_logits(
+                    self.imdb.wav_logits[j], 0.0, 1e6,
+                    cfg.logit_aggregator)
+            else:
+                window = aggregate_logits(
+                    self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
+                    cfg.logit_aggregator)
             waves.append(samples)
             starts_times.append(t0)
             targets.append(make_targets(window, cfg))
@@ -321,23 +356,34 @@ class EmoVoxBatcher:
         for pos, j in enumerate(chunk):
             path = str(wav_root / self.imdb.wav_paths[j])
             num_samples, native_fs, _, _ = native_ds.wav_info(path)
+            offset = (None if self.time_offsets is None
+                      else float(self.time_offsets[j]))
             if native_fs == fs:
-                total = min(num_samples, int(MAX_CLIP_SECONDS * fs))
-                max_start = max(total - need, 0)
-                start = int(rng.randint(0, max_start + 1)) if (
-                    rng is not None and max_start > 0) else 0
+                if offset is not None:  # fixedSegments: pinned start
+                    start = min(max(int(round(offset * fs)), 0),
+                                max(num_samples - 1, 0))
+                else:
+                    total = min(num_samples, int(MAX_CLIP_SECONDS * fs))
+                    max_start = max(total - need, 0)
+                    start = int(rng.randint(0, max_start + 1)) if (
+                        rng is not None and max_start > 0) else 0
                 fast_paths.append(path)
                 fast_starts.append(start)
                 fast_positions.append(pos)
                 t0 = start / fs
             else:
                 # off-rate file: per-file python fallback (resample)
-                samples, t0, _ = load_crop(path, cfg, rng=rng)
+                samples, t0, _ = load_crop(path, cfg, rng=rng,
+                                           start_seconds=offset)
                 rows[pos] = samples
             t0s[pos] = t0
-            window = aggregate_logits(
-                self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
-                cfg.logit_aggregator)
+            if offset is not None:
+                window = aggregate_logits(self.imdb.wav_logits[j],
+                                          0.0, 1e6, cfg.logit_aggregator)
+            else:
+                window = aggregate_logits(
+                    self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
+                    cfg.logit_aggregator)
             targets.append(make_targets(window, cfg))
         whole_batch_fast = len(fast_paths) == len(chunk)
         fmt = ("mulaw8" if cfg.emit_mulaw

@@ -133,7 +133,10 @@ def mini_epoch_size(num_tracks: int, ratio: float, num_devices: int,
 def split_imdb(imdb: EmoVoxImdb, mini_val: float, seed: int = 0):
     """Train/val split from set ids, with mini-val subsampling (:137-146).
 
-    Val = unheardVal + heardVal sets; a fixed-seed subset keeps val cheap.
+    Val = unheardVal + heardVal sets; a fixed-seed subset keeps val
+    cheap. Returns (train_imdb, val_imdb, train_idx, val_idx) — the
+    indices let callers subset per-track sidecars (time_offsets) the
+    same way.
     """
     train_idx = np.where(imdb.set_id == SET_TRAIN)[0]
     val_idx = np.where(
@@ -143,12 +146,13 @@ def split_imdb(imdb: EmoVoxImdb, mini_val: float, seed: int = 0):
         rng = np.random.RandomState(seed)
         keep = max(int(round(len(val_idx) * mini_val)), 1)
         val_idx = np.sort(rng.permutation(val_idx)[:keep])
-    return imdb.subset(train_idx), imdb.subset(val_idx)
+    return imdb.subset(train_idx), imdb.subset(val_idx), train_idx, val_idx
 
 
 def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
                      mesh="auto", resume: bool = True,
-                     teacher_model=None, teacher_variables=None):
+                     teacher_model=None, teacher_variables=None,
+                     time_offsets=None):
     """Returns (final_state, history, exp_dir).
 
     ``teacher_model``/``teacher_variables`` are required when
@@ -156,7 +160,9 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
     the imdb's cached wav_logits. ``mesh="auto"`` builds a data-parallel
     mesh over every visible device (the reference's gpus=[1 2] option,
     run_distillation.m:74) — pass None to force single-device or a Mesh
-    to control placement.
+    to control placement. ``time_offsets`` ([num_tracks] seconds)
+    enables the reference's fixedSegments mode (run_distillation.m:86):
+    pinned crop starts + whole-track logit targets.
     """
     if mesh == "auto":
         from mcncrossmodalemotions_tpu.parallel.mesh import auto_mesh
@@ -171,7 +177,13 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
             )
         imdb = EmoVoxImdb.load(imdb_path)
 
-    train_imdb, val_imdb = split_imdb(imdb, cfg.mini_val, cfg.seed)
+    train_imdb, val_imdb, train_idx, val_idx = split_imdb(
+        imdb, cfg.mini_val, cfg.seed)
+    train_offsets = val_offsets = None
+    if time_offsets is not None:
+        time_offsets = np.asarray(time_offsets, np.float64)
+        train_offsets = time_offsets[train_idx]
+        val_offsets = time_offsets[val_idx]
     noise = None
     if cfg.noise_num > 0:
         if cfg.noise_dir is None:
@@ -194,8 +206,10 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         frame_size=cfg.frame_size,
         emit_mulaw=cfg.mulaw_feed,
     )
-    train_batcher = EmoVoxBatcher(train_imdb, bcfg, train=True, seed=cfg.seed)
-    val_batcher = EmoVoxBatcher(val_imdb, bcfg, train=False, seed=cfg.seed)
+    train_batcher = EmoVoxBatcher(train_imdb, bcfg, train=True, seed=cfg.seed,
+                                  time_offsets=train_offsets)
+    val_batcher = EmoVoxBatcher(val_imdb, bcfg, train=False, seed=cfg.seed,
+                                time_offsets=val_offsets)
     num_devices = (int(np.prod(mesh.devices.shape)) if mesh is not None
                    else 1)
     epoch_size = mini_epoch_size(train_imdb.num_tracks,

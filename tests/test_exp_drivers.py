@@ -560,3 +560,48 @@ def test_reproduce_ferplus_end_to_end_synthetic(tmp_path, monkeypatch):
     assert report["pass"] is False
     assert (tmp_path / "out" / "report.json").exists()
     assert "senet50-ferplus" in report["results"]
+
+
+def test_fixed_segments_batcher(emovox_imdb):
+    """fixedSegments mode (run_distillation.m:86 + getBatchEmoVoxCeleb.m:
+    91-99,136-138): crops start at the supplied per-track offsets (no
+    random draw -> identical across epochs even in train mode) and the
+    loss targets aggregate over the WHOLE track's logits."""
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        BatchConfig,
+        EmoVoxBatcher,
+        aggregate_logits,
+    )
+
+    n = emovox_imdb.num_tracks
+    offsets = np.linspace(0.0, 1.5, n)
+    cfg = BatchConfig(batch_size=5, emit_int16=False)
+    batcher = EmoVoxBatcher(emovox_imdb, cfg, train=True, seed=0,
+                            time_offsets=offsets)
+    b1 = next(iter(batcher.batches(epoch=1)))
+    b2 = next(iter(batcher.batches(epoch=2)))
+    # same track order? train shuffles indices per epoch — compare via
+    # a val batcher (in-order) for crop determinism instead
+    val1 = next(iter(EmoVoxBatcher(emovox_imdb, cfg, train=False,
+                                   time_offsets=offsets).batches()))
+    val2 = next(iter(EmoVoxBatcher(emovox_imdb, cfg, train=False,
+                                   time_offsets=offsets).batches()))
+    np.testing.assert_array_equal(val1["data"], val2["data"])
+    assert np.isfinite(b1["data"]).all() and np.isfinite(b2["data"]).all()
+
+    # whole-track aggregation: targets equal max over ALL logit rows
+    for pos in range(5):
+        want = aggregate_logits(emovox_imdb.wav_logits[pos], 0.0, 1e6,
+                                cfg.logit_aggregator)[:cfg.num_pred_emotions]
+        np.testing.assert_allclose(val1["logit_target"][pos], want)
+
+    # offsets actually move the crop: a nonzero offset differs from the
+    # zero-offset (start-anchored) val read for the same track
+    plain = next(iter(EmoVoxBatcher(emovox_imdb, cfg,
+                                    train=False).batches()))
+    moved = np.asarray(offsets[:5]) > 0
+    diff = np.any(val1["data"] != plain["data"], axis=1)
+    np.testing.assert_array_equal(diff, moved)
+
+    with pytest.raises(AssertionError, match="one offset per track"):
+        EmoVoxBatcher(emovox_imdb, cfg, time_offsets=offsets[:3])
