@@ -61,6 +61,12 @@ class DistillationConfig:
     out_root: str = "exps"
     tiny_model: bool = False     # dev pattern
     use_pallas_frontend: bool = False
+    # fromScratch=false (run_distillation.m:84 via emoVoxZoo.m:25-44):
+    # start from the released student weights instead of a fresh init.
+    # ``pretrained_student`` is a registry name or .mat path (default:
+    # the released 'emovoxceleb-student' artifact).
+    from_scratch: bool = True
+    pretrained_student: str = "emovoxceleb-student"
     # Online (fused) mode: teacher forward runs inside the student train
     # step on the crop's face frames instead of consuming cached
     # wav_logits (train/distill.py; SURVEY.md "teacher/student
@@ -99,6 +105,9 @@ class DistillationConfig:
                     self.dropout, self.seed, self.tiny_model,
                     self.online_teacher, self.lr_start_exp,
                     self.lr_stop_exp, self.weight_decay)
+        if not self.from_scratch:
+            # a from-release run must not resume a scratch run's dir
+            identity += ("from-release", self.pretrained_student)
         if self.speed_aug or self.noise_num > 0:
             # Augmentation changes the training distribution — identity-
             # defining; appended only when set so default hashes stay
@@ -227,14 +236,30 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         exp_dir=str(exp_dir),
         resume=resume,
     )
-    model = build_student(
-        cfg.student,
-        num_outputs=cfg.num_pred_emotions,
-        dropout=cfg.dropout,
-        tiny=cfg.tiny_model,
-        use_pallas_frontend=cfg.use_pallas_frontend,
-        loss_type=cfg.loss_type,  # euclidean: head /10 (emoVoxZoo.m:140-144)
-    )
+    pretrained_state = None
+    if cfg.from_scratch:
+        model = build_student(
+            cfg.student,
+            num_outputs=cfg.num_pred_emotions,
+            dropout=cfg.dropout,
+            tiny=cfg.tiny_model,
+            use_pallas_frontend=cfg.use_pallas_frontend,
+            loss_type=cfg.loss_type,  # euclidean: head /10 (emoVoxZoo.m:140-144)
+        )
+    else:
+        # fromScratch=false: continue from the released student
+        # (emoVoxZoo.m:25-44 load path; dims come from the release)
+        import jax
+        import jax.numpy as jnp
+
+        from mcncrossmodalemotions_tpu.train.state import TrainState
+        from mcncrossmodalemotions_tpu.zoo import load_pretrained_student
+
+        model, variables = load_pretrained_student(cfg.pretrained_student,
+                                                   with_frontend=True)
+        pretrained_state = TrainState.create(
+            jax.tree.map(jnp.asarray, variables),
+            jax.random.PRNGKey(cfg.seed))
     loss_fn = student_loss_fn(cfg.loss_type, temperature=cfg.temperature,
                               num_classes=cfg.num_pred_emotions)
     step_override = None
@@ -279,6 +304,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         lambda epoch: train_batcher.batches(epoch, epoch_size=epoch_size,
                                             drop_remainder=True),
         val_batches_fn=lambda epoch: val_batcher.batches(epoch),
+        state=pretrained_state,  # None -> fresh init from example_batch
         example_batch=example,
     )
     return state, history, exp_dir

@@ -605,3 +605,40 @@ def test_fixed_segments_batcher(emovox_imdb):
 
     with pytest.raises(AssertionError, match="one offset per track"):
         EmoVoxBatcher(emovox_imdb, cfg, time_offsets=offsets[:3])
+
+
+def test_distillation_from_released_student(emovox_imdb, tmp_path):
+    """fromScratch=false (run_distillation.m:84 + emoVoxZoo.m:25-44):
+    training continues FROM the released student weights — the initial
+    state carries the release's parameters, dims come from the .mat, and
+    the exp identity differs from the scratch run's."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+    from mcncrossmodalemotions_tpu.models import VGGMStudent
+    from tests.test_matconvnet_import import (
+        _flax_to_matconvnet,
+        _save_dagnn_mat,
+    )
+
+    ref_model = VGGMStudent(fc6_features=32, fc7_features=16)
+    variables = jax.device_get(ref_model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 512, 400, 1))))
+    mat_path = tmp_path / "release.mat"
+    _save_dagnn_mat(mat_path, _flax_to_matconvnet(variables))
+
+    kw = dict(num_epochs=1, batch_size=4, mini_epoch_ratio=1.0,
+              mini_val=1.0, out_root=str(tmp_path / "exps"),
+              lr_start_exp=-9.0, lr_stop_exp=-9.0)  # ~frozen weights
+    cfg = DistillationConfig(from_scratch=False,
+                             pretrained_student=str(mat_path), **kw)
+    assert cfg.exp_name() != DistillationConfig(**kw).exp_name()
+    state, history, _ = run_distillation(cfg, imdb=emovox_imdb, mesh=None)
+    assert np.isfinite(history[-1]["train"]["loss"])
+    got = np.asarray(state.params["net"]["fc6"]["kernel"])
+    want = np.asarray(variables["params"]["fc6"]["kernel"])
+    np.testing.assert_allclose(got, want, atol=1e-4)  # lr 1e-9: unmoved
