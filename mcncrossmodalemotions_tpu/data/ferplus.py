@@ -72,14 +72,33 @@ def parse_ferplus_csvs(fer_csv: str | Path, ferplus_csv: str | Path,
 def vote_distributions(votes: np.ndarray, data_type: str = "CNTK") -> np.ndarray:
     """Normalise rater votes to class distributions.
 
-    ``data_type='CNTK'`` keeps the 8 emotion columns (NF/unknown dropped
-    — ferplus_baselines.m:167-172); ``'full'`` keeps all 10 columns
-    (the reference's 10-class dataType, ferplus_baselines.m:87-92).
+    ``data_type in ('CNTK', 'clean')`` keeps the 8 emotion columns
+    (NF/unknown dropped — ferplus_baselines.m:167-172, both 8-class
+    labelling schemes, :87-90/:161-163); ``'full'`` keeps all 10 columns
+    (the reference's 10-class dataType, ferplus_baselines.m:91).
     """
-    cols = 8 if data_type == "CNTK" else 10
+    cols = 10 if data_type == "full" else 8
     emo = votes[:, :cols].astype(np.float32)
     total = emo.sum(axis=1, keepdims=True)
     return emo / np.maximum(total, 1e-8)
+
+
+def clean_subset(imdb: FerPlusImdb,
+                 min_consensus: float = 0.5) -> FerPlusImdb:
+    """The 'clean' dataType's aggressive filtering (ferplus_baselines.m:
+    27-29: "the dataset has been quite aggressively cleaned").
+
+    The reference delegates the cleaning to mcnDatasets' getFerPlusImdb
+    variant (external, not in the repo); this implementation keeps only
+    images with strong rater consensus: the majority EMOTION must hold
+    at least ``min_consensus`` of the TOTAL votes (so heavy NF/unknown
+    mass also disqualifies). An approximation of the unavailable
+    external recipe, stated as such.
+    """
+    emo = imdb.votes[:, :8].astype(np.float64)
+    total = imdb.votes.sum(axis=1)
+    keep = emo.max(axis=1) >= min_consensus * np.maximum(total, 1e-8)
+    return imdb.subset(np.where(keep)[0])
 
 
 def build_synthetic_ferplus(num_images: int = 120, seed: int = 0,

@@ -44,8 +44,13 @@ class FerPlusConfig:
 
     model: str = "senet50-ferplus"
     loss_type: str = "distributions"
-    num_classes: int = 8          # 8 = 'CNTK' dataType, 10 = 'full'
-                                  # (ferplus_baselines.m:87-92)
+    num_classes: int = 8          # 8 = 'CNTK'/'clean' dataTypes, 10 =
+                                  # 'full' (ferplus_baselines.m:87-92)
+    # Explicit dataType override: 'CNTK' | 'clean' | 'full'
+    # (ferplus_baselines.m:62). None derives from num_classes (CNTK/
+    # full); 'clean' additionally applies data/ferplus.clean_subset's
+    # aggressive consensus filter before training.
+    data_type: Optional[str] = None
     batch_size: int = 128
     dropout: float = 0.5
     lr_values: tuple = (0.01, 0.001, 0.0001)
@@ -53,6 +58,11 @@ class FerPlusConfig:
     momentum: float = 0.9
     weight_decay: float = 5e-4
     finetune_lr: float = 0.1  # backbone LR multiplier (ferplus_baselines.m:74)
+    # useBnorm (ferplus_baselines.m:60 -> ferPlusZoo.m:123
+    # insertBNLayers): retrofit BatchNorm into BN-less classic models.
+    # None keeps each model's own default ('-bn' names on, others off);
+    # ResNet teachers carry BN inherently and ignore it.
+    use_bnorm: Optional[bool] = None
     augment: bool = True
     # Single-resample augmentation (the reference's composition,
     # ferplus_baselines.m:194-213): host warps straight to input_size in
@@ -83,12 +93,20 @@ class FerPlusConfig:
             # different augmented-image numerics -> different identity;
             # appended only when set so default hashes stay stable
             identity += ("aug-at-target",)
+        if self.use_bnorm is not None:
+            identity += ("bnorm" if self.use_bnorm else "nobnorm",)
+        if self.data_type is not None:
+            # 'clean' trains on a filtered dataset — its own exp dir
+            # (the reference keys the imdb path on dataType,
+            # ferplus_baselines.m:84-85)
+            identity += (self.data_type,)
         return f"ferplus-{self.model}-{self.loss_type}-{config_hash(identity)}"
 
 
 def build_pipeline(cfg: FerPlusConfig) -> FaceTeacherPipeline:
     teacher = build_teacher(cfg.model, num_outputs=cfg.num_classes,
-                            dropout=cfg.dropout, tiny=cfg.tiny_model)
+                            dropout=cfg.dropout, tiny=cfg.tiny_model,
+                            use_bnorm=cfg.use_bnorm)
     teacher = dataclasses.replace(teacher, head_init_scale=0.01)
     return FaceTeacherPipeline(teacher=teacher, input_size=cfg.input_size,
                                augment=cfg.augment)
@@ -148,7 +166,8 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
             else:
                 teacher, tvars = prepare_classic_from_base(
                     cfg.pretrained_mat, cfg.model,
-                    num_outputs=cfg.num_classes, seed=cfg.seed)
+                    num_outputs=cfg.num_classes, seed=cfg.seed,
+                    use_bnorm=cfg.use_bnorm)
             teacher = dataclasses.replace(teacher, dropout_rate=cfg.dropout)
             fresh_head = True
             # Normalise with the base release's own averageImage (classic
@@ -186,7 +205,17 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     trainer = Trainer(model, loss_fn, tcfg, class_names=EMOTIONS,
                       mesh=mesh, rng_names=rngs, lr_scale_fn=lr_scale)
 
-    data_type = "CNTK" if cfg.num_classes == 8 else "full"
+    data_type = cfg.data_type or ("CNTK" if cfg.num_classes == 8
+                                  else "full")
+    expected_classes = 10 if data_type == "full" else 8
+    if cfg.num_classes != expected_classes:
+        raise ValueError(
+            f"dataType {data_type!r} is {expected_classes}-class but "
+            f"num_classes={cfg.num_classes} (ferplus_baselines.m:87-92)")
+    if data_type == "clean":
+        from mcncrossmodalemotions_tpu.data.ferplus import clean_subset
+
+        imdb = clean_subset(imdb)
     example = next(ferplus_batches(imdb, 1, min(cfg.batch_size, 2),
                                    data_type=data_type))
 

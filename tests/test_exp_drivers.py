@@ -642,3 +642,58 @@ def test_distillation_from_released_student(emovox_imdb, tmp_path):
     got = np.asarray(state.params["net"]["fc6"]["kernel"])
     want = np.asarray(variables["params"]["fc6"]["kernel"])
     np.testing.assert_allclose(got, want, atol=1e-4)  # lr 1e-9: unmoved
+
+
+def test_ferplus_clean_datatype(tmp_path):
+    """The third dataType 'clean' (ferplus_baselines.m:62,89,161):
+    8-class like CNTK but trained on the aggressively consensus-filtered
+    subset; distinct exp identity; num_classes mismatches rejected."""
+    from mcncrossmodalemotions_tpu.data.ferplus import (
+        clean_subset,
+        vote_distributions,
+    )
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+    )
+
+    imdb = build_synthetic_ferplus(80)
+    cleaned = clean_subset(imdb)
+    assert 0 < cleaned.num_images <= imdb.num_images
+    # every kept image has majority-emotion consensus >= half the votes
+    emo = cleaned.votes[:, :8]
+    assert (emo.max(1) >= 0.5 * cleaned.votes.sum(1) - 1e-9).all()
+    # 'clean' distributions are 8-column like CNTK
+    assert vote_distributions(cleaned.votes, "clean").shape[1] == 8
+
+    kw = dict(batch_size=8, tiny_model=True, input_size=48, dropout=0.0,
+              lr_values=(0.05,), lr_epochs=(1,), out_root=str(tmp_path))
+    cfg = FerPlusConfig(data_type="clean", **kw)
+    assert cfg.exp_name() != FerPlusConfig(**kw).exp_name()
+    _, history = ferplus_baselines(cfg, imdb)
+    assert np.isfinite(history[-1]["train"]["loss"])
+
+    with pytest.raises(ValueError, match="8-class"):
+        ferplus_baselines(FerPlusConfig(data_type="clean", num_classes=10,
+                                        **kw), imdb)
+
+
+def test_ferplus_use_bnorm_option(tmp_path):
+    """useBnorm (ferplus_baselines.m:60 -> insertBNLayers): a BN-less
+    classic teacher trains with retrofitted BatchNorm when use_bnorm=True
+    and without when False; option is identity-defining."""
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        build_pipeline,
+    )
+
+    kw = dict(model="vgg-vd-face", batch_size=8, tiny_model=True,
+              input_size=48, dropout=0.0, lr_values=(0.05,),
+              lr_epochs=(1,), out_root=str(tmp_path))
+    on = build_pipeline(FerPlusConfig(use_bnorm=True, **kw))
+    off = build_pipeline(FerPlusConfig(use_bnorm=False, **kw))
+    assert on.teacher.use_batchnorm and not off.teacher.use_batchnorm
+    # default: the '-bn'-less name stays BN-less
+    assert not build_pipeline(FerPlusConfig(**kw)).teacher.use_batchnorm
+    assert (FerPlusConfig(use_bnorm=True, **kw).exp_name()
+            != FerPlusConfig(**kw).exp_name())
