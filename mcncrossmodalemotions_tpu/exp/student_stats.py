@@ -40,18 +40,48 @@ def teacher_labels(imdb: EmoVoxImdb) -> np.ndarray:
     )
 
 
+def _prediction_histogram(labels: np.ndarray, title: str,
+                          path: Path) -> None:
+    """Dominant-prediction histogram figure (the visHist option,
+    student_stats.m:66-70,99-102)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 3))
+    ax.hist(labels, bins=np.arange(len(EMOTIONS) + 1) - 0.5,
+            rwidth=0.85)
+    ax.set_xticks(range(len(EMOTIONS)))
+    ax.set_xticklabels(EMOTIONS, rotation=45, ha="right", fontsize=7)
+    ax.set_title(title, fontsize=9)
+    fig.tight_layout()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def student_stats(imdb: EmoVoxImdb,
                   student_logits: Optional[List[np.ndarray]] = None,
                   model=None, variables=None,
                   temperature: float = 1.0,
                   fig_dir: Optional[str] = None,
                   cache_path: Optional[str] = None,
+                  partition: str = "all",
+                  ignore=IGNORE_EMOTIONS,
+                  refresh: bool = False,
+                  vis_hist: bool = False,
                   verbose: bool = True) -> Dict[str, Dict[str, float]]:
     """Per-partition per-emotion AUCs + meanAuc.
 
     Returns {partition: {emotion: auc, ..., 'meanAuc': float}}.
+    Options mirror student_stats.m:39-49: ``partition`` restricts the
+    analysis to one split; ``ignore`` names emotions excluded from
+    meanAuc; ``refresh`` bypasses+rewrites the cache; ``vis_hist``
+    writes dominant-prediction histograms (student overall + teacher
+    per partition) into ``fig_dir``.
     """
-    if cache_path and Path(cache_path).exists():
+    if cache_path and Path(cache_path).exists() and not refresh:
         return json.loads(Path(cache_path).read_text())
     if student_logits is None:
         student_logits = compute_audio_feats(imdb, model=model,
@@ -62,12 +92,25 @@ def student_stats(imdb: EmoVoxImdb,
     scores = softmax_np(scores, temperature=temperature, axis=1)
     labels = teacher_labels(imdb)
     num_classes = scores.shape[1]
+    if vis_hist and fig_dir:
+        _prediction_histogram(
+            scores.argmax(axis=1), "dominant emotions (student)",
+            Path(fig_dir) / "student-pred-hist.jpg")
 
+    if partition != "all" and partition not in PARTITIONS:
+        raise KeyError(f"unknown partition {partition!r}; "
+                       f"known: {['all'] + list(PARTITIONS)}")
     results: Dict[str, Dict[str, float]] = {}
     for part_name, set_id in PARTITIONS.items():
+        if partition != "all" and part_name != partition:
+            continue
         mask = imdb.set_id == set_id
         if not mask.any():
             continue
+        if vis_hist and fig_dir:
+            _prediction_histogram(
+                labels[mask], f"dominant emotions (teacher, {part_name})",
+                Path(fig_dir) / f"teacher-pred-hist-{part_name}.jpg")
         part_scores = scores[mask]
         part_labels = labels[mask]
         aucs: Dict[str, float] = {}
@@ -83,7 +126,7 @@ def student_stats(imdb: EmoVoxImdb,
             else:
                 auc = auc_score(binary, part_scores[:, c])
             aucs[emotion] = float(auc)
-        scored = [v for k, v in aucs.items() if k not in IGNORE_EMOTIONS]
+        scored = [v for k, v in aucs.items() if k not in ignore]
         aucs["meanAuc"] = float(np.mean(scored)) if scored else float("nan")
         results[part_name] = aucs
     if cache_path:

@@ -204,6 +204,23 @@ def test_student_stats_on_synthetic(emovox_imdb, tmp_path):
     again = student_stats(emovox_imdb, student_logits=None,
                           cache_path=str(tmp_path / "aucs.json"))
     assert again.keys() == results.keys()
+    # refresh busts the cache (recompute needs logits again)
+    fresh = student_stats(emovox_imdb, student_logits=perfect,
+                          cache_path=str(tmp_path / "aucs.json"),
+                          refresh=True)
+    assert fresh.keys() == results.keys()
+    # single-partition mode (student_stats.m:41,82-86) + custom ignore
+    one = student_stats(emovox_imdb, student_logits=perfect,
+                        partition="unheardVal", ignore=())
+    assert list(one) == ["unheardVal"]
+    with pytest.raises(KeyError, match="unknown partition"):
+        student_stats(emovox_imdb, student_logits=perfect,
+                      partition="nope")
+    # visHist figures (student_stats.m:40,66-70,99-102)
+    student_stats(emovox_imdb, student_logits=perfect,
+                  fig_dir=str(tmp_path / "figs"), vis_hist=True)
+    assert (tmp_path / "figs" / "student-pred-hist.jpg").exists()
+    assert (tmp_path / "figs" / "teacher-pred-hist-train.jpg").exists()
 
 
 def test_teacher_stats_histogram(emovox_imdb, tmp_path):
