@@ -196,12 +196,18 @@ def mix_corpus_noise(samples: np.ndarray, ncfg: NoiseConfig,
     need = len(samples)
     idx = int(rng.randint(1, ncfg.num_files + 1))
     path = ncfg.file_path(idx)
-    total = ncfg.noise_len
-    if total is None:
-        total = wav_info(path).num_samples
-    max_start = max(total - need, 0)
+    info = wav_info(path)
+    native_fs = info.sample_rate
+    # All offset/length arithmetic in the corpus file's NATIVE samples
+    # (an off-rate corpus otherwise reads ~fs_ratio of the intended
+    # duration and pads the rest with silence). noise_len is in native
+    # samples, like the reference's meta.noise.noiselen.
+    need_native = (need if native_fs == target_fs
+                   else int(np.ceil(need * native_fs / target_fs)) + 4)
+    total = ncfg.noise_len if ncfg.noise_len is not None else info.num_samples
+    max_start = max(total - need_native, 0)
     start = int(rng.randint(0, max_start + 1)) if max_start > 0 else 0
-    noise, fs = read_wav(path, start, need)
+    noise, fs = read_wav(path, start, need_native)
     if fs != target_fs:
         from mcncrossmodalemotions_tpu.data.audio import resample_to
 

@@ -207,6 +207,9 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
 
     data_type = cfg.data_type or ("CNTK" if cfg.num_classes == 8
                                   else "full")
+    if data_type not in ("CNTK", "clean", "full"):
+        raise ValueError(f"unknown dataType {data_type!r}; known: "
+                         "CNTK | clean | full (ferplus_baselines.m:62)")
     expected_classes = 10 if data_type == "full" else 8
     if cfg.num_classes != expected_classes:
         raise ValueError(

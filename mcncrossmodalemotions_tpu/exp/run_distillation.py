@@ -111,9 +111,12 @@ class DistillationConfig:
         if self.speed_aug or self.noise_num > 0:
             # Augmentation changes the training distribution — identity-
             # defining; appended only when set so default hashes stay
-            # stable.
+            # stable. noise_dir is part of it: different corpora are
+            # different training distributions and must not resume each
+            # other's checkpoints.
             identity += ("speed" if self.speed_aug else "",
-                         self.noise_num, self.noise_vol)
+                         self.noise_num, self.noise_vol,
+                         self.noise_dir or "")
         if self.mulaw_feed:
             # The lossy mu-law feed (~38 dB SNR) changes the input
             # numerics, so it IS identity-defining — a mu-law run must
@@ -226,6 +229,13 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
                                  cfg.batch_size)
 
     exp_dir = Path(cfg.out_root) / cfg.exp_name()
+    if time_offsets is not None:
+        # fixedSegments trains on a different input/target distribution
+        # (pinned crops, whole-track targets) — identity-defining, keyed
+        # on the offsets themselves so a plain run's checkpoints are
+        # never silently resumed.
+        exp_dir = exp_dir.with_name(
+            exp_dir.name + f"-fixedseg-{config_hash(tuple(time_offsets))}")
     tcfg = TrainConfig(
         num_epochs=cfg.num_epochs,
         batch_size=cfg.batch_size,
@@ -257,6 +267,13 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
 
         model, variables = load_pretrained_student(cfg.pretrained_student,
                                                    with_frontend=True)
+        # honour the run config's parameter-free options on the loaded
+        # module (dropout has no params; the frontend choice is a
+        # compute-path flag) — silently dropping them would train a
+        # different model than exp_name() records
+        model = dataclasses.replace(
+            model, dropout_rate=cfg.dropout,
+            use_pallas_frontend=cfg.use_pallas_frontend)
         pretrained_state = TrainState.create(
             jax.tree.map(jnp.asarray, variables),
             jax.random.PRNGKey(cfg.seed))

@@ -80,9 +80,19 @@ def student_stats(imdb: EmoVoxImdb,
     meanAuc; ``refresh`` bypasses+rewrites the cache; ``vis_hist``
     writes dominant-prediction histograms (student overall + teacher
     per partition) into ``fig_dir``.
+
+    The cache records the (partition, ignore) options it was computed
+    under and only answers calls with the SAME options — a cached
+    single-partition result must not masquerade as the full analysis
+    (and vice versa).
     """
+    options = {"partition": partition, "ignore": sorted(ignore)}
     if cache_path and Path(cache_path).exists() and not refresh:
-        return json.loads(Path(cache_path).read_text())
+        cached = json.loads(Path(cache_path).read_text())
+        if cached.get("__options__", {"partition": "all",
+                                      "ignore": sorted(IGNORE_EMOTIONS)}
+                      ) == options:
+            return {k: v for k, v in cached.items() if k != "__options__"}
     if student_logits is None:
         student_logits = compute_audio_feats(imdb, model=model,
                                              variables=variables,
@@ -131,5 +141,6 @@ def student_stats(imdb: EmoVoxImdb,
         results[part_name] = aucs
     if cache_path:
         Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
-        Path(cache_path).write_text(json.dumps(results, indent=2))
+        Path(cache_path).write_text(
+            json.dumps({**results, "__options__": options}, indent=2))
     return results

@@ -30,6 +30,27 @@ import numpy as np
 
 BN_EPSILON = 1e-5  # MatConvNet vl_nnbnorm default epsilon
 
+# Classic (scipy) .mat files must be parsed whole; callers routinely
+# need BOTH params and meta from one release (weights import + its
+# averageImage), and the big classics are ~1 GB — cache the last parse
+# keyed on (path, mtime) so load_mat_params/load_mat_meta share it.
+_CLASSIC_CACHE: dict = {}
+
+
+def _load_classic_net(path: str | Path):
+    import os
+
+    import scipy.io
+
+    key = (str(path), os.stat(path).st_mtime_ns)
+    if _CLASSIC_CACHE.get("key") != key:
+        mat = scipy.io.loadmat(str(path), struct_as_record=False,
+                               squeeze_me=True)
+        _CLASSIC_CACHE.clear()
+        _CLASSIC_CACHE["key"] = key
+        _CLASSIC_CACHE["net"] = mat.get("net", mat)
+    return _CLASSIC_CACHE["net"]
+
 
 def load_mat_params(path: str | Path) -> Dict[str, np.ndarray]:
     """Flat {param_name: array} from a DagNN/SimpleNN ``.mat`` file.
@@ -44,11 +65,7 @@ def load_mat_params(path: str | Path) -> Dict[str, np.ndarray]:
 
     if mat73.is_hdf5(path):
         return _load_mat_params_h5(path)
-    import scipy.io
-
-    mat = scipy.io.loadmat(str(path), struct_as_record=False,
-                           squeeze_me=True)
-    net = mat.get("net", mat)
+    net = _load_classic_net(path)
     params: Dict[str, np.ndarray] = {}
     if hasattr(net, "params"):  # DagNN: array of structs with .name/.value
         entries = np.atleast_1d(net.params)
@@ -126,7 +143,9 @@ def _load_mat_meta_h5(path: str | Path) -> dict:
                     meta[field] = mat73.matlab_array(f, norm[field])
         classes = m.get("classes")
         if classes is not None:
-            names = classes.get("name", classes)
+            # struct group (classes.name cell) or a bare cell dataset
+            names = (classes.get("name", classes)
+                     if hasattr(classes, "get") else classes)
             meta["classes"] = [str(s)
                                for s in mat73.string_cell(f, names)]
     return meta
@@ -141,10 +160,7 @@ def load_mat_meta(path: str | Path) -> dict:
 
     if mat73.is_hdf5(path):
         return _load_mat_meta_h5(path)
-    import scipy.io
-
-    mat = scipy.io.loadmat(str(path), struct_as_record=False, squeeze_me=True)
-    net = mat.get("net", mat)
+    net = _load_classic_net(path)
     meta = {}
     m = getattr(net, "meta", None)
     if m is not None:
@@ -469,8 +485,40 @@ def import_classic_teacher(mat_path: str | Path, model) -> dict:
     exactly as the reference reads it from the loaded DagNN graph
     (ferPlusZoo.m:136-160); shapes are validated implicitly when the
     tree is applied.
+
+    useBnorm retrofit (ferPlusZoo.m:123 insertBNLayers): when the model
+    wants BatchNorm but the release is BN-less (vgg_face / vgg-vd-face
+    carry no BN params), the convs import as-is and FRESH identity BN
+    variables (scale 1, bias 0, mean 0, var 1) are synthesised for each
+    bn_<layer> the module expects — the reference likewise inserts
+    identity-initialised vl_nnbnorm layers into the pretrained dag. The
+    release's conv biases fold into the fresh BN running means
+    (mean = -bias: (z-(-b))/1*1+0 == z+b), since the BN-variant module
+    builds bias-free convs; exact in eval mode, and train mode uses
+    batch stats exactly as the reference's retrofit does.
     """
     params = load_mat_params(mat_path)
-    layer_map = vggface_layer_map(model.arch,
-                                  use_batchnorm=model.use_batchnorm)
-    return import_variables(params, layer_map)
+    bn_probe = _bn_spec(f"{'conv1_1' if model.arch == 'vd' else 'conv1'}_bn")
+    release_has_bn = _resolve(params, bn_probe["gamma"],
+                              required=False) is not None
+    layer_map = vggface_layer_map(
+        model.arch,
+        use_batchnorm=model.use_batchnorm and release_has_bn)
+    tree = import_variables(params, layer_map)
+    if model.use_batchnorm and not release_has_bn:
+        for path, spec in vggface_layer_map(
+                model.arch, use_batchnorm=True).items():
+            if spec["kind"] != "bn" or not path.startswith("bn_"):
+                continue
+            conv = tree["params"].get(path[len("bn_"):])
+            if conv is None:
+                continue
+            c = int(np.asarray(conv["kernel"]).shape[-1])
+            bias = conv.pop("bias", None)  # bias-free convs under BN
+            mean = (np.zeros(c, np.float32) if bias is None
+                    else -np.asarray(bias, np.float32).reshape(-1))
+            tree["params"][path] = {"scale": np.ones(c, np.float32),
+                                    "bias": np.zeros(c, np.float32)}
+            tree["batch_stats"][path] = {"mean": mean,
+                                         "var": np.ones(c, np.float32)}
+    return tree

@@ -714,3 +714,128 @@ def test_ferplus_use_bnorm_option(tmp_path):
     assert not build_pipeline(FerPlusConfig(**kw)).teacher.use_batchnorm
     assert (FerPlusConfig(use_bnorm=True, **kw).exp_name()
             != FerPlusConfig(**kw).exp_name())
+
+
+def test_usebnorm_retrofit_on_bnless_release(tmp_path):
+    """insertBNLayers semantics (ferPlusZoo.m:123): importing a BN-less
+    classic release into a use_bnorm=True model synthesises identity BN
+    (conv biases folded into the fresh running means), so eval-mode
+    logits equal the BN-less import exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.models.vggface import VGGFace
+    from mcncrossmodalemotions_tpu.zoo import prepare_classic_from_base
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import vggface_layer_map
+    from tests.test_matconvnet_import import _export_via_map, _save_dagnn_mat
+
+    rng = np.random.RandomState(17)
+    base = VGGFace(arch="m", width_multiplier=1 / 16, fc_features=64,
+                   num_outputs=20, use_batchnorm=False)
+    x = jnp.asarray(rng.randn(2, 96, 96, 3).astype(np.float32) * 5.0)
+    bv = jax.device_get(base.init(jax.random.PRNGKey(2), x))
+    mat = _export_via_map(bv, vggface_layer_map("m", use_batchnorm=False))
+    mat_path = tmp_path / "vgg-m-face.mat"  # BN-less release
+    _save_dagnn_mat(mat_path, mat)
+
+    import mcncrossmodalemotions_tpu.zoo.registry as registry
+    orig = registry.build_teacher
+    registry.build_teacher = lambda *a, **k: VGGFace(
+        arch="m", width_multiplier=1 / 16, fc_features=64,
+        num_outputs=k.get("num_outputs", 8),
+        use_batchnorm=k.get("use_bnorm") is not False)
+    try:
+        model, variables = prepare_classic_from_base(
+            mat_path, "vgg-m-face", num_outputs=8, seed=0, use_bnorm=True)
+    finally:
+        registry.build_teacher = orig
+    assert model.use_batchnorm
+    assert "bn_conv1" in variables["params"]
+    # identity BN + bias fold: embeddings match the BN-less base exactly
+    _, ref_emb = base.apply(jax.tree.map(jnp.asarray, bv), x,
+                            return_embedding=True)
+    _, got_emb = model.apply(jax.tree.map(jnp.asarray, variables), x,
+                             return_embedding=True)
+    np.testing.assert_allclose(np.asarray(got_emb), np.asarray(ref_emb),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_fixed_segments_exp_identity(emovox_imdb, tmp_path):
+    """A fixedSegments run must not share (resume) a plain run's exp dir
+    — the offsets are identity-defining."""
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+
+    cfg = DistillationConfig(num_epochs=1, batch_size=4, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             out_root=str(tmp_path / "exps"))
+    offsets = np.zeros(emovox_imdb.num_tracks)
+    _, _, plain_dir = run_distillation(cfg, imdb=emovox_imdb, mesh=None)
+    _, _, fixed_dir = run_distillation(cfg, imdb=emovox_imdb, mesh=None,
+                                       time_offsets=offsets)
+    assert fixed_dir != plain_dir and "fixedseg" in fixed_dir.name
+    _, _, other_dir = run_distillation(cfg, imdb=emovox_imdb, mesh=None,
+                                       time_offsets=offsets + 0.5)
+    assert other_dir != fixed_dir
+
+
+def test_from_release_honours_dropout():
+    """from_scratch=False must carry cfg.dropout onto the loaded module
+    (it is part of the exp identity)."""
+    import dataclasses as dc
+
+    from mcncrossmodalemotions_tpu.models.pipeline import AudioStudentPipeline
+
+    model = AudioStudentPipeline()
+    model = dc.replace(model, dropout_rate=0.5, use_pallas_frontend=True)
+    assert model.dropout_rate == 0.5 and model.use_pallas_frontend
+
+
+def test_student_stats_cache_keyed_on_options(emovox_imdb, tmp_path):
+    """A cached single-partition result must not answer an 'all' call
+    (and custom ignore sets don't hit a default-options cache)."""
+    from mcncrossmodalemotions_tpu.exp.student_stats import (
+        student_stats,
+        teacher_labels,
+    )
+
+    labels = teacher_labels(emovox_imdb)
+    perfect = [np.eye(8, dtype=np.float32)[lab:lab + 1] * 5
+               for lab in labels]
+    p = str(tmp_path / "aucs.json")
+    one = student_stats(emovox_imdb, student_logits=perfect,
+                        partition="unheardVal", cache_path=p)
+    assert list(one) == ["unheardVal"]
+    full = student_stats(emovox_imdb, student_logits=perfect,
+                         partition="all", cache_path=p)
+    assert set(full) >= {"train", "unheardVal"}
+    # and the rewritten full cache answers 'all' but not a custom ignore
+    cached = student_stats(emovox_imdb, student_logits=perfect,
+                           cache_path=p)
+    assert "__options__" not in cached
+    custom = student_stats(emovox_imdb, student_logits=perfect,
+                           cache_path=p, ignore=())
+    assert set(custom) == set(full)
+
+
+def test_noise_corpus_off_rate_file(emovox_imdb, tmp_path):
+    """An off-rate (8 kHz) corpus file must supply noise for the FULL
+    window (native-sample arithmetic + resample), not a fraction."""
+    from mcncrossmodalemotions_tpu.data.audio import write_wav
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        NoiseConfig,
+        mix_corpus_noise,
+    )
+
+    root = tmp_path / "noise8k"
+    write_wav(root / "01.wav", np.full(8 * 8000, 0.25, np.float32), 8000)
+    ncfg = NoiseConfig(noise_dir=str(root), num_files=1, noise_vol=0.4)
+    clean = np.zeros(64000, np.float32)  # 4 s at 16 kHz
+    mixed = mix_corpus_noise(clean, ncfg, np.random.RandomState(3),
+                             target_fs=16000)
+    # constant corpus -> whole window carries ~ratio*0.25, no silent tail
+    tail = mixed[-16000:]
+    assert np.abs(tail).mean() > 0.0, "tail lost the noise"
+    assert np.abs(np.abs(mixed).mean() - np.abs(mixed[:16000]).mean()) < 0.02
