@@ -19,9 +19,43 @@ def is_config(obj: Any) -> bool:
     return dataclasses.is_dataclass(obj) and not isinstance(obj, type)
 
 
-def _coerce(value: Any, target: Any) -> Any:
+def _coerce_by_annotation(value: str, annotation: Any) -> Any:
+    """CLI-string coercion for a None-valued field, from its annotation.
+
+    Handles the Optional[...] fields whose default is None (use_bnorm,
+    data_type, noise_dir, ...): without this, ``use_bnorm=false`` would
+    store the TRUTHY string 'false'. Unparseable annotations fall back
+    to the raw string (the pre-existing behavior for plain str fields).
+    """
+    import typing
+
+    if isinstance(annotation, str):  # PEP 563 string annotations
+        a = annotation.replace("typing.", "").replace(" ", "")
+        if a.startswith("Optional[") and a.endswith("]"):
+            a = a[len("Optional["):-1]
+        a = a.removesuffix("|None").removeprefix("None|")
+        base = {"bool": bool, "int": int, "float": float,
+                "str": str}.get(a, annotation)
+    else:
+        args = [t for t in typing.get_args(annotation)
+                if t is not type(None)]
+        base = args[0] if len(args) == 1 else annotation
+    if base is bool:
+        return _coerce(value, False)
+    if base is int:
+        return int(value)
+    if base is float:
+        return float(value)
+    return value
+
+
+def _coerce(value: Any, target: Any, annotation: Any = None) -> Any:
     """Coerce ``value`` (possibly a CLI string) to the type of ``target``."""
-    if value is None or target is None:
+    if value is None:
+        return value
+    if target is None:
+        if isinstance(value, str) and annotation is not None:
+            return _coerce_by_annotation(value, annotation)
         return value
     if isinstance(value, str) and not isinstance(target, str):
         if isinstance(target, bool):
@@ -62,7 +96,13 @@ def override(cfg: Any, path: str, value: Any) -> Any:
             raise AttributeError(f"{head!r} is a leaf option; cannot descend into {rest!r}")
         new_value = override(current, rest, value)
     else:
-        new_value = _coerce(value, current) if not is_config(current) else value
+        if is_config(current):
+            new_value = value
+        else:
+            annotation = next(
+                (f.type for f in dataclasses.fields(cfg) if f.name == head),
+                None)
+            new_value = _coerce(value, current, annotation)
     return dataclasses.replace(cfg, **{head: new_value})
 
 

@@ -224,3 +224,18 @@ def test_cli_fetch_lists_and_fails_cleanly(capsys):
     out = capsys.readouterr().out
     assert "senet50-ferplus" in out and "vggface2" in out
     assert main(["fetch", "no-such-artifact"]) == 1
+
+
+def test_override_optional_fields_coerce_by_annotation():
+    """Optional[...] fields with None defaults must coerce CLI strings
+    by their ANNOTATION — 'use_bnorm=false' must become False, not the
+    truthy string 'false'."""
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import FerPlusConfig
+    from mcncrossmodalemotions_tpu.utils.config import parse_overrides
+
+    cfg = parse_overrides(FerPlusConfig(), "use_bnorm=false")
+    assert cfg.use_bnorm is False
+    cfg = parse_overrides(FerPlusConfig(), "use_bnorm=true",
+                          "data_type=clean", "pretrained_mat=/x.mat")
+    assert cfg.use_bnorm is True
+    assert cfg.data_type == "clean" and cfg.pretrained_mat == "/x.mat"
