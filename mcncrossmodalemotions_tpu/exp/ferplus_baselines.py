@@ -182,6 +182,11 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
             model = FaceTeacherPipeline(teacher=teacher,
                                         input_size=cfg.input_size,
                                         augment=cfg.augment, **mean_kw)
+            from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+                clear_mat_cache,
+            )
+
+            clear_mat_cache()  # params+meta both read; drop the ~1 GB parse
             pretrained_vars = {"params": {"teacher": tvars["params"]}}
             if "batch_stats" in tvars:
                 pretrained_vars["batch_stats"] = {

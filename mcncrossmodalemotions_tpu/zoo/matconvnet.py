@@ -37,6 +37,13 @@ BN_EPSILON = 1e-5  # MatConvNet vl_nnbnorm default epsilon
 _CLASSIC_CACHE: dict = {}
 
 
+def clear_mat_cache() -> None:
+    """Drop the cached classic-.mat parse (it can pin ~1 GB for the big
+    releases). Called by the zoo entry points once both the params and
+    meta reads of a release are done."""
+    _CLASSIC_CACHE.clear()
+
+
 def _load_classic_net(path: str | Path):
     import os
 

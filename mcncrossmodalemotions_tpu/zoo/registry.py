@@ -300,6 +300,9 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
                                     augment=augment, **kw)
         variables = {"params": {"teacher": variables["params"]},
                      "batch_stats": {"teacher": variables["batch_stats"]}}
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import clear_mat_cache
+
+    clear_mat_cache()  # the cached raw parse can pin ~1 GB
     return model, variables
 
 
