@@ -26,6 +26,7 @@ SURVEY.md section 3.1.)
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 from typing import Dict, Iterator, Optional
 
@@ -182,6 +183,16 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
     return samples.astype(np.float32), t0, info.duration
 
 
+@functools.lru_cache(maxsize=256)
+def _noise_wav_info(path_str: str):
+    """Header info for a noise-corpus file, memoized: the corpus is a
+    small FIXED set of numbered wavs (meta.noise.noisenum), so the
+    per-sample header open the reference avoids via meta.noise.noiselen
+    is paid at most once per file here, for both the length and the
+    sample-rate reads."""
+    return wav_info(Path(path_str))
+
+
 def mix_corpus_noise(samples: np.ndarray, ncfg: NoiseConfig,
                      rng: np.random.RandomState,
                      target_fs: int) -> np.ndarray:
@@ -196,7 +207,7 @@ def mix_corpus_noise(samples: np.ndarray, ncfg: NoiseConfig,
     need = len(samples)
     idx = int(rng.randint(1, ncfg.num_files + 1))
     path = ncfg.file_path(idx)
-    info = wav_info(path)
+    info = _noise_wav_info(str(path))
     native_fs = info.sample_rate
     # All offset/length arithmetic in the corpus file's NATIVE samples
     # (an off-rate corpus otherwise reads ~fs_ratio of the intended

@@ -159,34 +159,36 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
         if cfg.model in VGGFACE2_MODELS + CLASSIC_MODELS:
             # Base model: head-resize surgery + pinned re-init, then
             # fine-tune (ferPlusZoo.m:116-199) — NOT returned as-is.
-            if cfg.model in VGGFACE2_MODELS:
-                teacher, tvars = prepare_teacher_from_base(
-                    cfg.pretrained_mat, num_outputs=cfg.num_classes,
-                    seed=cfg.seed)
-            else:
-                teacher, tvars = prepare_classic_from_base(
-                    cfg.pretrained_mat, cfg.model,
-                    num_outputs=cfg.num_classes, seed=cfg.seed,
-                    use_bnorm=cfg.use_bnorm)
-            teacher = dataclasses.replace(teacher, dropout_rate=cfg.dropout)
-            fresh_head = True
-            # Normalise with the base release's own averageImage (classic
-            # vgg_face mean differs from the VGGFace2 default) — the
-            # reference reads meta off the loaded dag itself.
+            # One cache scope spans the params read (prepare_*) and the
+            # meta read (release_mean_rgb) so the ~1 GB release parses
+            # once and is dropped as soon as both reads finish.
+            from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+                mat_cache_scope,
+            )
             from mcncrossmodalemotions_tpu.zoo.registry import (
                 release_mean_rgb,
             )
 
-            mean = release_mean_rgb(cfg.pretrained_mat)
+            with mat_cache_scope():
+                if cfg.model in VGGFACE2_MODELS:
+                    teacher, tvars = prepare_teacher_from_base(
+                        cfg.pretrained_mat, num_outputs=cfg.num_classes,
+                        seed=cfg.seed)
+                else:
+                    teacher, tvars = prepare_classic_from_base(
+                        cfg.pretrained_mat, cfg.model,
+                        num_outputs=cfg.num_classes, seed=cfg.seed,
+                        use_bnorm=cfg.use_bnorm)
+                # Normalise with the base release's own averageImage
+                # (classic vgg_face mean differs from the VGGFace2
+                # default) — the reference reads meta off the loaded dag.
+                mean = release_mean_rgb(cfg.pretrained_mat)
+            teacher = dataclasses.replace(teacher, dropout_rate=cfg.dropout)
+            fresh_head = True
             mean_kw = {"mean_rgb": mean} if mean is not None else {}
             model = FaceTeacherPipeline(teacher=teacher,
                                         input_size=cfg.input_size,
                                         augment=cfg.augment, **mean_kw)
-            from mcncrossmodalemotions_tpu.zoo.matconvnet import (
-                clear_mat_cache,
-            )
-
-            clear_mat_cache()  # params+meta both read; drop the ~1 GB parse
             pretrained_vars = {"params": {"teacher": tvars["params"]}}
             if "batch_stats" in tvars:
                 pretrained_vars["batch_stats"] = {

@@ -81,12 +81,19 @@ def student_stats(imdb: EmoVoxImdb,
     writes dominant-prediction histograms (student overall + teacher
     per partition) into ``fig_dir``.
 
-    The cache records the (partition, ignore) options it was computed
-    under and only answers calls with the SAME options — a cached
-    single-partition result must not masquerade as the full analysis
-    (and vice versa).
+    The cache records the (partition, ignore, figure) options it was
+    computed under and only answers calls with the SAME options — a
+    cached single-partition result must not masquerade as the full
+    analysis, and a cached figure-less run must not swallow a call that
+    asks for ROC jpgs / visHist histograms (the reference renders its
+    figures on every run regardless of the AUC cache,
+    student_stats.m:99-125).
     """
-    options = {"partition": partition, "ignore": sorted(ignore)}
+    if partition != "all" and partition not in PARTITIONS:
+        raise KeyError(f"unknown partition {partition!r}; "
+                       f"known: {['all'] + list(PARTITIONS)}")
+    options = {"partition": partition, "ignore": sorted(ignore),
+               "figs": bool(fig_dir), "vis_hist": bool(vis_hist and fig_dir)}
     if cache_path and Path(cache_path).exists() and not refresh:
         cached = json.loads(Path(cache_path).read_text())
         if cached.get("__options__", {"partition": "all",
@@ -107,9 +114,6 @@ def student_stats(imdb: EmoVoxImdb,
             scores.argmax(axis=1), "dominant emotions (student)",
             Path(fig_dir) / "student-pred-hist.jpg")
 
-    if partition != "all" and partition not in PARTITIONS:
-        raise KeyError(f"unknown partition {partition!r}; "
-                       f"known: {['all'] + list(PARTITIONS)}")
     results: Dict[str, Dict[str, float]] = {}
     for part_name, set_id in PARTITIONS.items():
         if partition != "all" and part_name != partition:

@@ -23,6 +23,7 @@ Conventions handled:
 
 from __future__ import annotations
 
+import contextlib
 from pathlib import Path
 from typing import Dict
 
@@ -39,9 +40,33 @@ _CLASSIC_CACHE: dict = {}
 
 def clear_mat_cache() -> None:
     """Drop the cached classic-.mat parse (it can pin ~1 GB for the big
-    releases). Called by the zoo entry points once both the params and
-    meta reads of a release are done."""
+    releases). Prefer ``mat_cache_scope`` — every zoo loader entry point
+    runs inside one, so the parse is released as soon as the outermost
+    scope's params+meta reads finish."""
     _CLASSIC_CACHE.clear()
+
+
+_CACHE_SCOPE_DEPTH = 0
+
+
+@contextlib.contextmanager
+def mat_cache_scope():
+    """Keep the classic-.mat parse cache warm for the duration of the
+    scope, dropping it when the OUTERMOST scope exits.
+
+    Reentrant: composite callers (e.g. ferplus_baselines reading params
+    via prepare_*_from_base and then meta via release_mean_rgb from the
+    same ~1 GB release) open one scope around the whole sequence, and
+    the entry points' inner scopes become no-ops, so the file is parsed
+    once and released once."""
+    global _CACHE_SCOPE_DEPTH
+    _CACHE_SCOPE_DEPTH += 1
+    try:
+        yield
+    finally:
+        _CACHE_SCOPE_DEPTH -= 1
+        if _CACHE_SCOPE_DEPTH == 0:
+            clear_mat_cache()
 
 
 def _load_classic_net(path: str | Path):
@@ -505,9 +530,12 @@ def import_classic_teacher(mat_path: str | Path, model) -> dict:
     batch stats exactly as the reference's retrofit does.
     """
     params = load_mat_params(mat_path)
-    bn_probe = _bn_spec(f"{'conv1_1' if model.arch == 'vd' else 'conv1'}_bn")
-    release_has_bn = _resolve(params, bn_probe["gamma"],
-                              required=False) is not None
+    # BN presence is detected from the NAME SPACE, not one resolvable
+    # candidate: a BN-carrying release with unexpected param suffixes
+    # must fail LOUDLY in the BN map (KeyError naming the candidates),
+    # never be silently re-imported with identity BN over trained stats.
+    release_has_bn = any("_bn" in name or name.startswith("bn")
+                         for name in params)
     layer_map = vggface_layer_map(
         model.arch,
         use_batchnorm=model.use_batchnorm and release_has_bn)
@@ -526,6 +554,9 @@ def import_classic_teacher(mat_path: str | Path, model) -> dict:
                     else -np.asarray(bias, np.float32).reshape(-1))
             tree["params"][path] = {"scale": np.ones(c, np.float32),
                                     "bias": np.zeros(c, np.float32)}
-            tree["batch_stats"][path] = {"mean": mean,
-                                         "var": np.ones(c, np.float32)}
+            # var = 1 - eps so eval-mode sqrt(var + eps) == 1 exactly
+            # (same convention as bn_variables' sigma^2 - eps)
+            tree["batch_stats"][path] = {
+                "mean": mean,
+                "var": np.full(c, 1.0 - BN_EPSILON, np.float32)}
     return tree

@@ -102,11 +102,15 @@ def load_pretrained_student(mat_path, *, with_frontend: bool = True,
     """
     import numpy as np
 
-    from mcncrossmodalemotions_tpu.zoo.matconvnet import import_vggm_student
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+        import_vggm_student,
+        mat_cache_scope,
+    )
 
     mat_path = resolve_release(mat_path, download=download)
 
-    variables = import_vggm_student(mat_path)
+    with mat_cache_scope():
+        variables = import_vggm_student(mat_path)
     # VGGMStudent convs are bias-free (the following BN absorbs the bias):
     # a released bias b shifts the BN input, and the release's running
     # mean mu was estimated on conv(x)+b, so dropping b must shift the
@@ -183,10 +187,14 @@ def prepare_teacher_from_base(mat_path, *, num_outputs: int = 8,
     import jax
 
     from mcncrossmodalemotions_tpu.models.surgery import reinit_head
-    from mcncrossmodalemotions_tpu.zoo.matconvnet import import_teacher
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+        import_teacher,
+        mat_cache_scope,
+    )
 
     mat_path = resolve_release(mat_path, download=download)
-    arch, variables = import_teacher(mat_path)
+    with mat_cache_scope():
+        arch, variables = import_teacher(mat_path)
     _fold_teacher_conv_biases(arch, variables)
     variables = reinit_head(variables, num_outputs,
                             jax.random.PRNGKey(seed), scale=1.0 / 100.0)
@@ -229,11 +237,13 @@ def prepare_classic_from_base(mat_path, name, *, num_outputs: int = 8,
     from mcncrossmodalemotions_tpu.models.surgery import reinit_head
     from mcncrossmodalemotions_tpu.zoo.matconvnet import (
         import_classic_teacher,
+        mat_cache_scope,
     )
 
     model = build_teacher(name, num_outputs=num_outputs, use_bnorm=use_bnorm)
     mat_path = resolve_release(mat_path, download=download)
-    variables = import_classic_teacher(mat_path, model)
+    with mat_cache_scope():
+        variables = import_classic_teacher(mat_path, model)
     if model.use_batchnorm:
         _fold_classic_conv_biases(variables)
     variables = reinit_head(variables, num_outputs,
@@ -254,10 +264,14 @@ def release_mean_rgb(mat_path, download: bool = True):
     """
     import numpy as np
 
-    from mcncrossmodalemotions_tpu.zoo.matconvnet import load_mat_meta
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+        load_mat_meta,
+        mat_cache_scope,
+    )
 
-    avg = load_mat_meta(resolve_release(mat_path,
-                                        download=download)).get("averageImage")
+    with mat_cache_scope():
+        avg = load_mat_meta(resolve_release(
+            mat_path, download=download)).get("averageImage")
     if avg is None:
         return None
     avg = np.asarray(avg, np.float64)
@@ -282,27 +296,29 @@ def load_pretrained_teacher(mat_path, *, with_pipeline: bool = False,
     nested under the 'teacher' submodule. ``mat_path`` may be a registry
     name ('senet50-ferplus'), resolved download-on-miss.
     """
-    from mcncrossmodalemotions_tpu.zoo.matconvnet import import_teacher
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+        import_teacher,
+        mat_cache_scope,
+    )
 
     mat_path = resolve_release(mat_path, download=download)
 
-    arch, variables = import_teacher(mat_path)
-    _fold_teacher_conv_biases(arch, variables)
-    model = ResNet(stage_sizes=arch["stage_sizes"], use_se=arch["use_se"],
-                   width=arch["width"], num_outputs=arch["num_outputs"])
-    if with_pipeline:
-        from mcncrossmodalemotions_tpu.models.teacher_pipeline import (
-            FaceTeacherPipeline)
+    with mat_cache_scope():  # params + meta read from one ~1 GB parse
+        arch, variables = import_teacher(mat_path)
+        _fold_teacher_conv_biases(arch, variables)
+        model = ResNet(stage_sizes=arch["stage_sizes"],
+                       use_se=arch["use_se"],
+                       width=arch["width"], num_outputs=arch["num_outputs"])
+        if with_pipeline:
+            from mcncrossmodalemotions_tpu.models.teacher_pipeline import (
+                FaceTeacherPipeline)
 
-        mean = release_mean_rgb(mat_path, download=download)
-        kw = {"mean_rgb": mean} if mean is not None else {}
-        model = FaceTeacherPipeline(teacher=model, input_size=input_size,
-                                    augment=augment, **kw)
-        variables = {"params": {"teacher": variables["params"]},
-                     "batch_stats": {"teacher": variables["batch_stats"]}}
-    from mcncrossmodalemotions_tpu.zoo.matconvnet import clear_mat_cache
-
-    clear_mat_cache()  # the cached raw parse can pin ~1 GB
+            mean = release_mean_rgb(mat_path, download=download)
+            kw = {"mean_rgb": mean} if mean is not None else {}
+            model = FaceTeacherPipeline(teacher=model, input_size=input_size,
+                                        augment=augment, **kw)
+            variables = {"params": {"teacher": variables["params"]},
+                         "batch_stats": {"teacher": variables["batch_stats"]}}
     return model, variables
 
 

@@ -818,6 +818,17 @@ def test_student_stats_cache_keyed_on_options(emovox_imdb, tmp_path):
     custom = student_stats(emovox_imdb, student_logits=perfect,
                            cache_path=p, ignore=())
     assert set(custom) == set(full)
+    # a figure-less cache must not swallow a call that asks for figures
+    # (the reference renders them every run, student_stats.m:99-125)
+    figs = tmp_path / "figs"
+    student_stats(emovox_imdb, student_logits=perfect, cache_path=p,
+                  fig_dir=str(figs), vis_hist=True)
+    assert (figs / "student-pred-hist.jpg").exists()
+    assert any(figs.glob("*-unheardVal.jpg"))
+    # unknown partitions fail fast, BEFORE any compute or cache read
+    with pytest.raises(KeyError):
+        student_stats(emovox_imdb, student_logits=perfect,
+                      partition="unheard")
 
 
 def test_noise_corpus_off_rate_file(emovox_imdb, tmp_path):

@@ -686,3 +686,31 @@ def test_ferplus_eval_only_rejects_fresh_head(tmp_path):
     with pytest.raises(ValueError, match="re-initialised"):
         ferplus_baselines(cfg, build_synthetic_ferplus(24),
                           evaluate_only="val")
+
+
+def test_mat_cache_scope_reentrant(tmp_path, tiny_student_vars):
+    """The classic-.mat parse cache is scoped: warm for every read inside
+    the outermost ``mat_cache_scope`` (params + meta parse the file once)
+    and dropped when it exits — no loader entry point may pin the ~1 GB
+    parse for the process lifetime."""
+    from mcncrossmodalemotions_tpu.zoo import matconvnet as mcn
+
+    model, variables, _ = tiny_student_vars
+    mat_path = tmp_path / "student.mat"
+    _save_dagnn_mat(mat_path, _flax_to_matconvnet(jax.device_get(variables)))
+
+    with mcn.mat_cache_scope():
+        mcn.load_mat_params(mat_path)
+        assert mcn._CLASSIC_CACHE, "cache should be warm inside the scope"
+        key = mcn._CLASSIC_CACHE["key"]
+        with mcn.mat_cache_scope():  # reentrant: inner exit is a no-op
+            mcn.load_mat_meta(mat_path)
+        assert mcn._CLASSIC_CACHE.get("key") == key, \
+            "inner scope exit must not drop the outer scope's parse"
+    assert not mcn._CLASSIC_CACHE, "outermost exit must release the parse"
+
+    # the zoo entry points run inside a scope: no residue after a load
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_student
+
+    load_pretrained_student(mat_path, with_frontend=False)
+    assert not mcn._CLASSIC_CACHE
