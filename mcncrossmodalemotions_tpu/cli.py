@@ -12,7 +12,19 @@ Examples::
         num_epochs=10 batch_size=32 loss_type=hot-cross-ent
     python -m mcncrossmodalemotions_tpu.cli ferplus model=senet50-ferplus
     python -m mcncrossmodalemotions_tpu.cli benchmark-ferplus
+    python -m mcncrossmodalemotions_tpu.cli student-stats \
+        imdb=emovox.npz cache=aucs.json fig_dir=figs vis_hist=true
+    python -m mcncrossmodalemotions_tpu.cli emo-benchmarks \
+        dataset=rml root=data/rml modality=audio feats=rml-audio.npz
     python -m mcncrossmodalemotions_tpu.cli bench
+
+Every reference entry point (SURVEY §1 L6) has a command: distill
+(run_distillation.m), ferplus (ferplus_baselines.m), benchmark-ferplus
+(benchmark_ferplus_models.m), fetch-imdb (fetch_emovoxceleb_imdb.m),
+student-stats, teacher-stats, sample-audio, audio-feats
+(compute_audio_feats.m), visual-feats (compute_visual_feats.m), and
+emo-benchmarks (emo_benchmarks.m, which drives run_cross_val.m — pass
+exp_root= to persist its per-fold mnr params).
 """
 
 from __future__ import annotations
@@ -101,6 +113,324 @@ def cmd_reproduce_ferplus(argv):
     return rmain(argv)
 
 
+def _to_bool(value) -> bool:
+    s = str(value).strip().lower()
+    if s in ("1", "true", "yes", "on"):
+        return True
+    if s in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"not a boolean: {value!r}")
+
+
+def _opt_dict(argv):
+    overrides, flags = _split_args(argv)
+    return dict(o.split("=", 1) for o in overrides), flags
+
+
+def _resolve_emovox_imdb(opts):
+    """Resolve the ``imdb=`` source of the analysis commands.
+
+    - ``imdb=<path>.npz`` — a saved :class:`EmoVoxImdb` manifest
+    - ``imdb=<path>.mat`` — a released logits imdb (classic or -v7.3)
+    - ``imdb=synthetic`` — the dev mini-imdb (built under ``root=``)
+    - default — the load-or-build path of ``fetch_emovoxceleb_imdb``
+      (honours ``root=``, ``cache=``, ``download=true``)
+    """
+    from pathlib import Path
+
+    src = opts.get("imdb", "")
+    root = opts.get("root", "data/emovoxceleb")
+    if src.endswith(".npz"):
+        from mcncrossmodalemotions_tpu.data.imdb import EmoVoxImdb
+
+        return EmoVoxImdb.load(src)
+    if src.endswith(".mat"):
+        from mcncrossmodalemotions_tpu.data.imdb import emovox_imdb_from_mat
+
+        return emovox_imdb_from_mat(
+            src,
+            wav_dir=opts.get("wav_dir", str(Path(root) / "wavs")),
+            frame_dir=opts.get("frame_dir", str(Path(root) / "frames")))
+    if src == "synthetic":
+        from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+
+        return build_synthetic_imdb(opts.get("root", "data/emovox-synthetic"))
+    from mcncrossmodalemotions_tpu.exp.fetch_emovoxceleb_imdb import (
+        fetch_emovoxceleb_imdb,
+    )
+
+    return fetch_emovoxceleb_imdb(
+        root, cache_path=opts.get("cache"),
+        download=_to_bool(opts.get("download", "false")))
+
+
+def _resolve_student(opts):
+    """``model=`` source -> (bare_model, variables, model_name).
+
+    'random' short-circuits (the null baseline); otherwise a registry
+    name or a .mat path imports released weights. Training checkpoints
+    are evaluated through the Python API (exp/student_stats.py), where
+    the TrainState structure is known.
+    """
+    name = opts.get("model", "emovoxceleb-student")
+    if name == "random":
+        return None, None, "random"
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_student
+
+    model, variables = load_pretrained_student(name, with_frontend=False)
+    return model, variables, name
+
+
+def cmd_fetch_imdb(argv):
+    """fetch_emovoxceleb_imdb equivalent (fetch_emovoxceleb_imdb.m).
+
+    Usage: fetch-imdb [root=data/emovoxceleb] [cache=imdb.npz]
+                      [download=true] [teacher=senet50-ferplus] [limit=N]
+    Downloads the released logits imdb, or runs the dense teacher
+    inference build when a teacher is given.
+    """
+    import numpy as np
+
+    from mcncrossmodalemotions_tpu.exp.fetch_emovoxceleb_imdb import (
+        fetch_emovoxceleb_imdb,
+    )
+
+    opts, _ = _opt_dict(argv)
+    teacher_model = teacher_vars = None
+    if "teacher" in opts:
+        from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+        teacher_model, teacher_vars = load_pretrained_teacher(
+            opts["teacher"], with_pipeline=True)
+    build_kwargs = {}
+    if "limit" in opts:
+        build_kwargs["limit"] = int(opts["limit"])
+    imdb = fetch_emovoxceleb_imdb(
+        opts.get("root", "data/emovoxceleb"),
+        teacher_model, teacher_vars,
+        cache_path=opts.get("cache"),
+        download=_to_bool(opts.get("download", "false")),
+        **build_kwargs)
+    counts = {int(s): int((imdb.set_id == s).sum())
+              for s in np.unique(imdb.set_id)}
+    print(f"imdb: {imdb.num_tracks} wavs; sets {counts}")
+    return 0
+
+
+def cmd_student_stats(argv):
+    """student_stats.m equivalent: heard/unheard per-emotion ROC/AUC.
+
+    Usage: student-stats imdb=<src> [model=emovoxceleb-student|random]
+           [feats=logits.npz] [partition=all] [ignore=fear,contempt,disgust]
+           [temperature=1] [fig_dir=figs] [vis_hist=true] [cache=aucs.json]
+           [refresh=true]
+    """
+    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+        compute_audio_feats,
+    )
+    from mcncrossmodalemotions_tpu.exp.student_stats import (
+        IGNORE_EMOTIONS,
+        student_stats,
+    )
+
+    opts, _ = _opt_dict(argv)
+    imdb = _resolve_emovox_imdb(opts)
+    model, variables, model_name = _resolve_student(opts)
+    logits = compute_audio_feats(imdb, model=model, variables=variables,
+                                 model_name=model_name,
+                                 feat_path=opts.get("feats"))
+    ignore = (tuple(opts["ignore"].split(",")) if "ignore" in opts
+              else IGNORE_EMOTIONS)
+    results = student_stats(
+        imdb, student_logits=logits,
+        temperature=float(opts.get("temperature", 1.0)),
+        partition=opts.get("partition", "all"),
+        ignore=ignore,
+        fig_dir=opts.get("fig_dir"),
+        vis_hist=_to_bool(opts.get("vis_hist", "false")),
+        cache_path=opts.get("cache"),
+        refresh=_to_bool(opts.get("refresh", "false")))
+    for part, aucs in results.items():
+        row = " ".join(f"{k}={v:.3f}" for k, v in sorted(aucs.items()))
+        print(f"{part}: {row}")
+    return 0
+
+
+def cmd_teacher_stats(argv):
+    """teacher_stats.m equivalent: dominant-prediction histograms.
+
+    Usage: teacher-stats imdb=<src> [fig=teacher-hist.pdf] [per=frame|wav]
+           [download_afew=true]
+    """
+    from mcncrossmodalemotions_tpu.exp.teacher_stats import teacher_stats
+
+    opts, _ = _opt_dict(argv)
+    imdb = _resolve_emovox_imdb(opts)
+    hists = teacher_stats(
+        imdb, fig_path=opts.get("fig"),
+        per=opts.get("per", "frame"),
+        download_afew=_to_bool(opts.get("download_afew", "false")))
+    for name, hist in hists.items():
+        print(f"{name}: {[int(v) for v in hist]}")
+    return 0
+
+
+def cmd_sample_audio(argv):
+    """sample_audio.m equivalent: qualitative per-emotion sample packs.
+
+    Usage: sample-audio imdb=<src> out=<dir> [per_emotion=20] [seed=0]
+           [frame_seq=true] [overwrite=true]
+    """
+    from mcncrossmodalemotions_tpu.exp.sample_audio import sample_audio
+
+    opts, _ = _opt_dict(argv)
+    imdb = _resolve_emovox_imdb(opts)
+    sampled = sample_audio(
+        imdb, opts.get("out", "emovoxceleb-samples"),
+        per_emotion=int(opts.get("per_emotion", 20)),
+        seed=int(opts.get("seed", 0)),
+        sample_frame_seq=_to_bool(opts.get("frame_seq", "false")),
+        overwrite=_to_bool(opts.get("overwrite", "false")))
+    for emotion, picks in sampled.items():
+        print(f"{emotion}: {len(picks)} samples")
+    return 0
+
+
+def _resolve_track_imdb(opts):
+    """``dataset=`` -> TrackImdb: rml | enterface | afew | synthetic,
+    rooted at ``root=`` (the mcnDatasets getters)."""
+    from mcncrossmodalemotions_tpu.data import external
+
+    name = opts.get("dataset", "rml")
+    root = opts.get("root", f"data/{name}")
+    if name == "rml":
+        return name, external.get_rml_imdb(root)
+    if name == "enterface":
+        return name, external.get_enterface_imdb(root)
+    if name.startswith("afew"):
+        return name, external.get_afew_imdb(
+            root,
+            subsample_stride=int(opts.get("subsample_stride", 1)))
+    if name == "synthetic":
+        return name, external.build_synthetic_track_imdb(root)
+    raise KeyError(f"unknown dataset {name!r}; "
+                   "known: rml, enterface, afew, synthetic")
+
+
+def cmd_audio_feats(argv):
+    """compute_audio_feats.m equivalent: per-track student logits.
+
+    Usage: audio-feats dataset=rml root=<dir> feats=<out.npz>
+           [model=emovoxceleb-student|random] [batch_size=64] [limit=N]
+    (For the EmoVoxCeleb imdb itself pass imdb=<src> instead of dataset=.)
+    """
+    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+        compute_audio_feats,
+    )
+
+    opts, _ = _opt_dict(argv)
+    if "imdb" in opts:
+        name, imdb = "emovoxceleb", _resolve_emovox_imdb(opts)
+    else:
+        name, imdb = _resolve_track_imdb(opts)
+    model, variables, model_name = _resolve_student(opts)
+    logits = compute_audio_feats(
+        imdb, model=model, variables=variables, model_name=model_name,
+        feat_path=opts.get("feats"),
+        batch_size=int(opts.get("batch_size", 64)),
+        limit=int(opts["limit"]) if "limit" in opts else None)
+    print(f"{name}: {len(logits)} tracks -> "
+          f"{opts.get('feats') or '(not cached)'}")
+    return 0
+
+
+def cmd_visual_feats(argv):
+    """compute_visual_feats.m equivalent: per-track teacher logits.
+
+    Usage: visual-feats dataset=afew root=<dir> feats=<out.npz>
+           [model=senet50-ferplus|random] [frame_root=<dir>]
+           [batch_size=128] [limit=N]
+    """
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        compute_visual_feats,
+    )
+
+    opts, _ = _opt_dict(argv)
+    name, imdb = _resolve_track_imdb(opts)
+    model_name = opts.get("model", "senet50-ferplus")
+    model = variables = None
+    if model_name != "random":
+        from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+        model, variables = load_pretrained_teacher(model_name,
+                                                   with_pipeline=True)
+    logits = compute_visual_feats(
+        imdb, model=model, variables=variables, model_name=model_name,
+        feat_path=opts.get("feats"),
+        frame_root=opts.get("frame_root", ""),
+        batch_size=int(opts.get("batch_size", 128)),
+        limit=int(opts["limit"]) if "limit" in opts else None)
+    print(f"{name}: {len(logits)} tracks -> "
+          f"{opts.get('feats') or '(not cached)'}")
+    return 0
+
+
+def cmd_emo_benchmarks(argv):
+    """emo_benchmarks.m equivalent: k-fold cross-validated accuracy on
+    an external benchmark (run_cross_val + mnr remapping inside).
+
+    Usage: emo-benchmarks dataset=rml root=<dir> [modality=audio|visual]
+           [model=...|random] [feats=feats.npz] [num_folds=10]
+           [aggregator=max] [fig_dir=figs] [exp_root=exps]
+    AFEW uses its predefined val split + the 381/383 adjustment.
+    """
+    import numpy as np
+
+    from mcncrossmodalemotions_tpu.exp.emo_benchmarks import emo_benchmarks
+
+    opts, _ = _opt_dict(argv)
+    name, imdb = _resolve_track_imdb(opts)
+    modality = opts.get("modality", "audio")
+    if modality == "audio":
+        from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+            compute_audio_feats,
+        )
+
+        model, variables, model_name = _resolve_student(opts)
+        logits = compute_audio_feats(imdb, model=model, variables=variables,
+                                     model_name=model_name,
+                                     feat_path=opts.get("feats"))
+    elif modality == "visual":
+        from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+            compute_visual_feats,
+        )
+
+        model_name = opts.get("model", "senet50-ferplus")
+        model = variables = None
+        if model_name != "random":
+            from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+            model, variables = load_pretrained_teacher(model_name,
+                                                       with_pipeline=True)
+        logits = compute_visual_feats(imdb, model=model, variables=variables,
+                                      model_name=model_name,
+                                      feat_path=opts.get("feats"),
+                                      frame_root=opts.get("frame_root", ""))
+    else:
+        raise KeyError(f"modality must be audio|visual, got {modality!r}")
+    spec = {"track_logits": logits, "labels": imdb.labels,
+            "classes": list(imdb.classes)}
+    if name.startswith("afew"):
+        spec["val_idx"] = np.where(imdb.set_id == 2)[0]
+    emo_benchmarks({name: spec},
+                   num_folds=int(opts.get("num_folds", 10)),
+                   aggregator=opts.get("aggregator", "max"),
+                   seed=int(opts.get("seed", 0)),
+                   fig_dir=opts.get("fig_dir"),
+                   exp_root=opts.get("exp_root"))
+    return 0
+
+
 def cmd_fetch(argv):
     """Resolve released artifacts by name (download-on-miss).
 
@@ -134,6 +464,13 @@ COMMANDS = {
     "ferplus": cmd_ferplus,
     "benchmark-ferplus": cmd_benchmark_ferplus,
     "reproduce-ferplus": cmd_reproduce_ferplus,
+    "fetch-imdb": cmd_fetch_imdb,
+    "student-stats": cmd_student_stats,
+    "teacher-stats": cmd_teacher_stats,
+    "sample-audio": cmd_sample_audio,
+    "audio-feats": cmd_audio_feats,
+    "visual-feats": cmd_visual_feats,
+    "emo-benchmarks": cmd_emo_benchmarks,
     "bench": cmd_bench,
     "fetch": cmd_fetch,
 }

@@ -239,3 +239,67 @@ def test_override_optional_fields_coerce_by_annotation():
                           "data_type=clean", "pretrained_mat=/x.mat")
     assert cfg.use_bnorm is True
     assert cfg.data_type == "clean" and cfg.pretrained_mat == "/x.mat"
+
+
+def test_cli_analysis_commands_end_to_end(tmp_path, monkeypatch, capsys):
+    """The reference's analysis entry points are all CLI-reachable
+    (SURVEY L6): fetch-imdb, student-stats, teacher-stats, sample-audio
+    driven over a saved synthetic manifest with the random-model null."""
+    from mcncrossmodalemotions_tpu.cli import main
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=3)
+    npz = tmp_path / "imdb.npz"
+    imdb.save(npz)
+    monkeypatch.chdir(tmp_path)
+
+    assert main(["fetch-imdb", f"cache={npz}"]) == 0
+    assert "wavs; sets" in capsys.readouterr().out
+
+    assert main(["student-stats", f"imdb={npz}", "model=random",
+                 f"cache={tmp_path / 'aucs.json'}",
+                 f"fig_dir={tmp_path / 'figs'}", "vis_hist=true"]) == 0
+    out = capsys.readouterr().out
+    assert "meanAuc" in out
+    assert (tmp_path / "figs" / "student-pred-hist.jpg").exists()
+    assert (tmp_path / "aucs.json").exists()
+
+    assert main(["teacher-stats", f"imdb={npz}",
+                 f"fig={tmp_path / 'hist.pdf'}"]) == 0
+    assert "emovoxceleb" in capsys.readouterr().out
+    assert (tmp_path / "hist.pdf").exists()
+
+    assert main(["sample-audio", f"imdb={npz}",
+                 f"out={tmp_path / 'samples'}", "per_emotion=2"]) == 0
+    copied = list((tmp_path / "samples").rglob("meta.txt"))
+    assert copied, "sample packs with meta.txt expected"
+
+
+def test_cli_external_benchmark_commands(tmp_path, monkeypatch, capsys):
+    """audio-feats / visual-feats / emo-benchmarks commands run the
+    external-benchmark pipeline (feature dump -> cross-val -> confusion
+    figure) on a synthetic dataset with the random-model null."""
+    from mcncrossmodalemotions_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    root = tmp_path / "rml"
+
+    assert main(["audio-feats", "dataset=synthetic", f"root={root}",
+                 "model=random", f"feats={tmp_path / 'feats.npz'}"]) == 0
+    assert (tmp_path / "feats.npz").exists()
+
+    assert main(["emo-benchmarks", "dataset=synthetic", f"root={root}",
+                 "modality=audio", "model=random",
+                 f"feats={tmp_path / 'feats.npz'}", "num_folds=3",
+                 f"fig_dir={tmp_path / 'figs'}",
+                 f"exp_root={tmp_path / 'exps'}"]) == 0
+    out = capsys.readouterr().out
+    assert "acc" in out
+    assert list((tmp_path / "figs").glob("*-confusion.pdf"))
+    assert list((tmp_path / "exps").rglob("mnr-params*")), \
+        "run_cross_val's per-fold mnr params should persist under exp_root"
+
+    assert main(["visual-feats", "dataset=synthetic", f"root={root}",
+                 "model=random", f"feats={tmp_path / 'vfeats.npz'}"]) == 0
+    assert (tmp_path / "vfeats.npz").exists()
