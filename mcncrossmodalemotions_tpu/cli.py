@@ -165,13 +165,25 @@ def _resolve_emovox_imdb(opts):
 
 
 def _resolve_student(opts):
-    """``model=`` source -> (bare_model, variables, model_name).
+    """Student source -> (bare_model, variables, model_name).
 
-    'random' short-circuits (the null baseline); otherwise a registry
-    name or a .mat path imports released weights. Training checkpoints
-    are evaluated through the Python API (exp/student_stats.py), where
-    the TrainState structure is known.
+    - ``model=random`` — the null baseline (gaussian logits)
+    - ``model=<name-or-.mat>`` — released weights via the zoo
+    - ``checkpoint=<exp_dir>`` [``epoch=N|best``] — a trained
+      run_distillation experiment (the reference's dev-checkpoint eval
+      flow, emoVoxZoo.m:46-63)
     """
+    if "checkpoint" in opts:
+        from mcncrossmodalemotions_tpu.exp.run_distillation import (
+            load_student_from_exp,
+        )
+
+        epoch = opts.get("epoch")
+        if epoch is not None and epoch != "best":
+            epoch = int(epoch)
+        model, variables = load_student_from_exp(opts["checkpoint"],
+                                                 epoch=epoch)
+        return model, variables, opts["checkpoint"]
     name = opts.get("model", "emovoxceleb-student")
     if name == "random":
         return None, None, "random"

@@ -325,3 +325,95 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         example_batch=example,
     )
     return state, history, exp_dir
+
+
+def load_student_from_exp(exp_dir, epoch: int | str | None = None,
+                          with_frontend: bool = False):
+    """Rebuild the trained student of an experiment directory for eval.
+
+    The reference's dev-checkpoint flow (emoVoxZoo.m:46-63: dev names
+    resolve to ``net-epoch-N.mat`` inside an experiment dir, losses
+    stripped for analysis): the newest run-metadata dump (storeMetaInfo
+    equivalent) reconstructs the run's config, the matching module is
+    rebuilt, and the requested checkpoint restored —
+
+    - ``epoch=None``: the latest readable checkpoint (last-good fallback)
+    - ``epoch='best'``: ``find_best_epoch``'s pick (findBestEpoch)
+    - ``epoch=<int>``: that epoch exactly
+
+    Returns ``(model, variables)``. With the default
+    ``with_frontend=False`` the pipeline's 'net' nesting is stripped so
+    the result drops straight into ``compute_audio_feats`` /
+    ``student_stats`` (which feed spectrograms, not waveforms).
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC
+    from mcncrossmodalemotions_tpu.train.checkpoints import (
+        checkpoint_path,
+        find_best_epoch,
+        load_checkpoint,
+        load_latest,
+    )
+    from mcncrossmodalemotions_tpu.train.state import TrainState
+
+    exp_dir = Path(exp_dir)
+    metas = sorted(exp_dir.glob("meta-*.json"))
+    if not metas:
+        raise FileNotFoundError(
+            f"no meta-*.json in {exp_dir} — not a run_distillation exp dir")
+    cfg_dict = json.loads(metas[-1].read_text())["config"]
+    fields = {f.name for f in dataclasses.fields(DistillationConfig)}
+    cfg = DistillationConfig(**{k: v for k, v in cfg_dict.items()
+                                if k in fields})
+
+    # Rebuild the TRAINING module (frontend pipeline) to restore into;
+    # dropout is parameter-free, so eval uses rate 0 without affecting
+    # the checkpoint structure.
+    if cfg.from_scratch:
+        pipeline = build_student(
+            cfg.student, num_outputs=cfg.num_pred_emotions, dropout=0.0,
+            tiny=cfg.tiny_model, loss_type=cfg.loss_type)
+    else:
+        from mcncrossmodalemotions_tpu.zoo import load_pretrained_student
+
+        pipeline, _ = load_pretrained_student(cfg.pretrained_student,
+                                              with_frontend=True)
+        pipeline = _dc.replace(pipeline, dropout_rate=0.0)
+    wav = jnp.zeros((1, DEFAULT_SPEC.crop_samples(
+        int(round(100 * cfg.num_seconds)))), jnp.float32)
+    template = TrainState.create(pipeline.init(jax.random.PRNGKey(0), wav),
+                                 jax.random.PRNGKey(0))
+
+    if epoch == "best":
+        epoch = find_best_epoch(exp_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no epoch metrics in {exp_dir}")
+    if epoch is None:
+        found, state = load_latest(exp_dir, template)
+        if found == 0:
+            raise FileNotFoundError(f"no checkpoints in {exp_dir}")
+    else:
+        state = load_checkpoint(checkpoint_path(exp_dir, int(epoch)),
+                                template)
+    variables = {"params": state.params, **state.model_state}
+    if with_frontend:
+        return pipeline, variables
+    variables = {k: v["net"] for k, v in variables.items()}
+    return _bare_student_for(pipeline), variables
+
+
+def _bare_student_for(pipeline):
+    """The spectrogram-input VGGMStudent matching a pipeline's dims."""
+    from mcncrossmodalemotions_tpu.models import VGGMStudent
+
+    return VGGMStudent(
+        num_outputs=pipeline.num_outputs,
+        fc6_features=pipeline.fc6_features,
+        fc7_features=pipeline.fc7_features,
+        head_init_scale=pipeline.head_init_scale,
+        conv1_s2d=pipeline.conv1_s2d,
+    )

@@ -346,6 +346,17 @@ class Trainer:
                     )
         if profiling:
             jax.profiler.stop_trace()
+        if train and n_batches == 0:
+            # Silent empty epochs produce a history with no loss at all
+            # and "trained" checkpoints that never saw a batch — fail
+            # loudly instead (batch_size larger than the split with
+            # drop_remainder is the usual cause).
+            raise ValueError(
+                f"epoch {epoch}: the train iterator yielded ZERO batches "
+                "— batch_size likely exceeds the (mini-)epoch's sample "
+                "count with drop_remainder=True; shrink batch_size or "
+                "raise mini_epoch_ratio/dataset size"
+            )
         t_drain = time.monotonic()
         stats = summarize_class_stats(avg.result(), self.class_names)
         wall = max(time.monotonic() - t0, 1e-9)

@@ -850,3 +850,72 @@ def test_noise_corpus_off_rate_file(emovox_imdb, tmp_path):
     tail = mixed[-16000:]
     assert np.abs(tail).mean() > 0.0, "tail lost the noise"
     assert np.abs(np.abs(mixed).mean() - np.abs(mixed[:16000]).mean()) < 0.02
+
+
+def test_load_student_from_exp(emovox_imdb, tmp_path):
+    """A finished run's student reloads from its exp dir (meta dump ->
+    module rebuild -> checkpoint restore), matching the in-memory final
+    state bit-for-bit; 'best'/int epoch selection works (the reference's
+    dev-checkpoint eval flow, emoVoxZoo.m:46-63)."""
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        load_student_from_exp,
+        run_distillation,
+    )
+    from mcncrossmodalemotions_tpu.ops.spectrogram import (
+        DEFAULT_SPEC,
+        waveform_to_input,
+    )
+
+    cfg = DistillationConfig(num_epochs=2, batch_size=4, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             out_root=str(tmp_path / "exps"))
+    state, _, exp_dir = run_distillation(cfg, imdb=emovox_imdb)
+
+    model, variables = load_student_from_exp(exp_dir)  # latest
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(1, DEFAULT_SPEC.crop_samples(400))
+                      .astype(np.float32) * 0.1)
+    x = waveform_to_input(wav)
+    got = np.asarray(model.apply(variables, x))
+    want_vars = {"params": jax.device_get(state.params)["net"],
+                 "batch_stats":
+                     jax.device_get(state.model_state)["batch_stats"]["net"]}
+    want = np.asarray(model.apply(want_vars, x))
+    np.testing.assert_array_equal(got, want)
+
+    # explicit epoch + best-epoch selection both resolve
+    m1, v1 = load_student_from_exp(exp_dir, epoch=1)
+    assert np.asarray(m1.apply(v1, x)).shape == (1, 8)
+    mb, vb = load_student_from_exp(exp_dir, epoch="best")
+    assert np.asarray(mb.apply(vb, x)).shape == (1, 8)
+    # frontend variant keeps the pipeline nesting
+    pipe, pv = load_student_from_exp(exp_dir, with_frontend=True)
+    assert "net" in pv["params"]
+    np.testing.assert_allclose(np.asarray(pipe.apply(pv, wav)), got,
+                               atol=1e-5)
+    with pytest.raises(FileNotFoundError):
+        load_student_from_exp(tmp_path / "not-an-exp")
+
+
+def test_cli_student_stats_from_checkpoint(emovox_imdb, tmp_path,
+                                           monkeypatch, capsys):
+    """student-stats checkpoint=<exp_dir> evaluates a trained run."""
+    from mcncrossmodalemotions_tpu.cli import main
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+
+    cfg = DistillationConfig(num_epochs=1, batch_size=4, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             out_root=str(tmp_path / "exps"))
+    _, _, exp_dir = run_distillation(cfg, imdb=emovox_imdb)
+    npz = tmp_path / "imdb.npz"
+    emovox_imdb.save(npz)
+    monkeypatch.chdir(tmp_path)
+    assert main(["student-stats", f"imdb={npz}",
+                 f"checkpoint={exp_dir}", "epoch=best"]) == 0
+    assert "meanAuc" in capsys.readouterr().out

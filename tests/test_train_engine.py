@@ -251,3 +251,23 @@ def test_orbax_checkpoint_backend(tmp_path):
                              backend="orbax")
     assert ckpt_lib.find_best_epoch(tmp_path, prune=True) == 1
     assert [e for e, _ in ckpt_lib.list_checkpoints(tmp_path)] == [1]
+
+
+def test_zero_train_batches_fails_loudly(tmp_path):
+    """batch_size > split size with drop_remainder must raise, not
+    produce an empty 'trained' epoch with no loss in its history."""
+    import pytest
+
+    from mcncrossmodalemotions_tpu.exp.run_distillation import (
+        DistillationConfig,
+        run_distillation,
+    )
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=2)
+    cfg = DistillationConfig(num_epochs=1, batch_size=64, tiny_model=True,
+                             mini_epoch_ratio=1.0, mini_val=1.0,
+                             out_root=str(tmp_path / "exps"))
+    with pytest.raises(ValueError, match="ZERO batches"):
+        run_distillation(cfg, imdb=imdb)
