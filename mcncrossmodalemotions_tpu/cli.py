@@ -360,8 +360,8 @@ def cmd_visual_feats(argv):
     """compute_visual_feats.m equivalent: per-track teacher logits.
 
     Usage: visual-feats dataset=afew root=<dir> feats=<out.npz>
-           [model=senet50-ferplus|random] [frame_root=<dir>]
-           [batch_size=128] [limit=N]
+           [model=senet50-ferplus|random] [checkpoint=<exp_dir>]
+           [epoch=best|N] [frame_root=<dir>] [batch_size=128] [limit=N]
     """
     from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
         compute_visual_feats,
@@ -371,7 +371,18 @@ def cmd_visual_feats(argv):
     name, imdb = _resolve_track_imdb(opts)
     model_name = opts.get("model", "senet50-ferplus")
     model = variables = None
-    if model_name != "random":
+    if "checkpoint" in opts:
+        from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+            load_teacher_from_exp,
+        )
+
+        epoch = opts.get("epoch")
+        if epoch is not None and epoch != "best":
+            epoch = int(epoch)
+        model, variables = load_teacher_from_exp(opts["checkpoint"],
+                                                 epoch=epoch)
+        model_name = opts["checkpoint"]
+    elif model_name != "random":
         from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
 
         model, variables = load_pretrained_teacher(model_name,

@@ -270,6 +270,23 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
         stats["accuracy"] = 1.0 - stats["classerror"]  # benchmark_ferplus_models.m:51-56
         return state, stats
 
+    # Run-metadata dump (the storeMetaInfo pattern the reference applies
+    # to the distillation driver, run_distillation.m:227-240, extended
+    # here so trained teachers reload from their exp dir alone —
+    # load_teacher_from_exp / the dev-checkpoint registry).
+    import platform
+    import time
+
+    from mcncrossmodalemotions_tpu.utils.config import struct2str, to_dict
+
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    (exp_dir / f"meta-{stamp}.json").write_text(json.dumps(
+        {"config": to_dict(cfg), "hostname": platform.node(),
+         "timestamp": stamp, "data_type": data_type,
+         "num_images": int(imdb.data.shape[0])}, indent=2))
+    (exp_dir / f"meta-{stamp}.txt").write_text(struct2str(cfg))
+
     state, history = trainer.fit(
         lambda epoch: ferplus_batches(imdb, 1, cfg.batch_size, shuffle=True,
                                       seed=cfg.seed + epoch,
@@ -334,3 +351,92 @@ def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
             cache.write_text(json.dumps(row))
         print(f"{model_name}: val {row['valAcc']:.3f} test {row['testAcc']:.3f}")
     return results
+
+
+def load_teacher_from_exp(exp_dir, epoch: int | str | None = None,
+                          with_pipeline: bool = True):
+    """Rebuild the trained teacher of a ferplus_baselines exp dir.
+
+    The teacher side of the dev-checkpoint flow (ferPlusZoo.m:63-92:
+    dev names resolve to ``net-epoch-N`` files inside experiment dirs,
+    losses stripped for analysis): the newest run-metadata dump
+    reconstructs the run's :class:`FerPlusConfig`, the matching module
+    is rebuilt and the requested checkpoint restored — ``epoch=None``
+    latest (last-good fallback), ``'best'`` = ``find_best_epoch``'s
+    pick, int = that epoch. Returns ``(model, variables)``; with the
+    default ``with_pipeline=True`` the model is the
+    :class:`FaceTeacherPipeline` (eval flags: augment off, dropout 0),
+    ready for ``compute_visual_feats``/dense inference.
+
+    Runs fine-tuned from a base release (``pretrained_mat``) rebuild
+    their module through the same surgery path, so the recorded .mat
+    must still be readable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.train.state import TrainState
+
+    exp_dir = Path(exp_dir)
+    metas = sorted(exp_dir.glob("meta-*.json"))
+    if not metas:
+        raise FileNotFoundError(
+            f"no meta-*.json in {exp_dir} — not a ferplus_baselines exp "
+            "dir (meta dumps ship with runs trained from this round on)")
+    cfg_dict = json.loads(metas[-1].read_text())["config"]
+    fields = {f.name for f in dataclasses.fields(FerPlusConfig)}
+    cfg = FerPlusConfig(**{k: tuple(v) if isinstance(v, list) else v
+                           for k, v in cfg_dict.items() if k in fields})
+
+    if cfg.pretrained_mat is not None:
+        from mcncrossmodalemotions_tpu.zoo.registry import (
+            CLASSIC_MODELS,
+            VGGFACE2_MODELS,
+            load_pretrained_teacher,
+            prepare_classic_from_base,
+            prepare_teacher_from_base,
+        )
+
+        if cfg.model in VGGFACE2_MODELS:
+            teacher, _ = prepare_teacher_from_base(
+                cfg.pretrained_mat, num_outputs=cfg.num_classes,
+                seed=cfg.seed)
+        elif cfg.model in CLASSIC_MODELS:
+            teacher, _ = prepare_classic_from_base(
+                cfg.pretrained_mat, cfg.model,
+                num_outputs=cfg.num_classes, seed=cfg.seed,
+                use_bnorm=cfg.use_bnorm)
+        else:
+            pipe, _ = load_pretrained_teacher(cfg.pretrained_mat,
+                                              with_pipeline=True,
+                                              input_size=cfg.input_size)
+            teacher = pipe.teacher
+        teacher = dataclasses.replace(teacher, dropout_rate=0.0)
+        model = FaceTeacherPipeline(teacher=teacher,
+                                    input_size=cfg.input_size,
+                                    augment=False)
+    else:
+        model = build_pipeline(cfg)
+        model = dataclasses.replace(
+            model, augment=False,
+            teacher=dataclasses.replace(model.teacher, dropout_rate=0.0))
+    x = jnp.zeros((1, 48, 48, 1), jnp.uint8)
+    template = TrainState.create(model.init(jax.random.PRNGKey(0), x),
+                                 jax.random.PRNGKey(0))
+
+    if epoch == "best":
+        epoch = ckpt_lib.find_best_epoch(exp_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no epoch metrics in {exp_dir}")
+    if epoch is None:
+        found, state = ckpt_lib.load_latest(exp_dir, template)
+        if found == 0:
+            raise FileNotFoundError(f"no checkpoints in {exp_dir}")
+    else:
+        state = ckpt_lib.load_checkpoint(
+            ckpt_lib.checkpoint_path(exp_dir, int(epoch)), template)
+    variables = {"params": state.params, **state.model_state}
+    if with_pipeline:
+        return model, variables
+    variables = {k: v["teacher"] for k, v in variables.items()}
+    return model.teacher, variables

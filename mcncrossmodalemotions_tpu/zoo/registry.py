@@ -391,6 +391,24 @@ def dev_checkpoint_path(name: str, exps_root):
     return checkpoint_path(Path(exps_root) / subdir, epoch)
 
 
+def load_dev_checkpoint(name: str, exps_root):
+    """Load a dev teacher by name at its pinned epoch (the full
+    ferPlusZoo.m:63-92 flow: name -> exp dir + epoch -> restored model
+    with losses stripped). Returns (model, variables) via
+    ``exp.ferplus_baselines.load_teacher_from_exp``."""
+    from pathlib import Path
+
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        load_teacher_from_exp,
+    )
+
+    if name not in DEV_CHECKPOINTS:
+        raise KeyError(f"unknown dev checkpoint {name!r}; known: "
+                       f"{sorted(DEV_CHECKPOINTS)}")
+    subdir, epoch = DEV_CHECKPOINTS[name]
+    return load_teacher_from_exp(Path(exps_root) / subdir, epoch=epoch)
+
+
 def student_loss_fn(loss_type: str = "hot-cross-ent", *,
                     temperature: float = 2.0,
                     num_classes: int = 8) -> Callable:

@@ -919,3 +919,85 @@ def test_cli_student_stats_from_checkpoint(emovox_imdb, tmp_path,
     assert main(["student-stats", f"imdb={npz}",
                  f"checkpoint={exp_dir}", "epoch=best"]) == 0
     assert "meanAuc" in capsys.readouterr().out
+
+
+def test_load_teacher_from_exp(tmp_path):
+    """A trained FER+ run's teacher reloads from its exp dir (meta dump
+    -> module rebuild -> checkpoint restore), matching the in-memory
+    final state; the dev-checkpoint name registry loads through it
+    (ferPlusZoo.m:63-92)."""
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+        load_teacher_from_exp,
+    )
+
+    imdb = build_synthetic_ferplus(40)
+    cfg = FerPlusConfig(batch_size=16, tiny_model=True, input_size=48,
+                        dropout=0.0, lr_values=(0.05,), lr_epochs=(1,),
+                        out_root=str(tmp_path / "exps"))
+    state, _ = ferplus_baselines(cfg, imdb)
+    exp_dir = tmp_path / "exps" / cfg.exp_name()
+    assert any(exp_dir.glob("meta-*.json")), "run metadata dump expected"
+
+    model, variables = load_teacher_from_exp(exp_dir)
+    x = jnp.asarray(imdb.data[:2])
+    got = np.asarray(model.apply(variables, x, train=False))
+    want_vars = {"params": jax.device_get(state.params),
+                 "batch_stats":
+                     jax.device_get(state.model_state)["batch_stats"]}
+    want = np.asarray(model.apply(want_vars, x, train=False))
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (2, 8)
+
+    # bare (pipeline-stripped) variant + best-epoch selection
+    bare, bv = load_teacher_from_exp(exp_dir, epoch="best",
+                                     with_pipeline=False)
+    assert "teacher" not in bv["params"]
+    with pytest.raises(FileNotFoundError):
+        load_teacher_from_exp(tmp_path / "nope")
+
+    # the dev-checkpoint registry resolves through the same loader once
+    # the exp dir matches its mapping
+    from mcncrossmodalemotions_tpu.zoo.registry import load_dev_checkpoint
+
+    sub = "grimaces/resnet50_ft-dag-dropout-0.1"
+    dev_dir = tmp_path / "exps2" / sub
+    dev_dir.parent.mkdir(parents=True)
+    import shutil
+
+    shutil.copytree(exp_dir, dev_dir)
+    # pin epoch 17 -> our run only has epoch 1; retarget the mapping copy
+    from mcncrossmodalemotions_tpu.train.checkpoints import checkpoint_path
+
+    shutil.copy(checkpoint_path(dev_dir, 1), checkpoint_path(dev_dir, 17))
+    m2, v2 = load_dev_checkpoint("resnet50_ft-dag-dropout-0.1",
+                                 tmp_path / "exps2")
+    np.testing.assert_array_equal(
+        np.asarray(m2.apply(v2, x, train=False)), got)
+
+
+def test_cli_visual_feats_from_checkpoint(tmp_path, monkeypatch, capsys):
+    """visual-feats checkpoint=<exp_dir> runs a trained teacher over a
+    frame dataset."""
+    from mcncrossmodalemotions_tpu.cli import main
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        ferplus_baselines,
+    )
+
+    imdb = build_synthetic_ferplus(40)
+    cfg = FerPlusConfig(batch_size=16, tiny_model=True, input_size=48,
+                        dropout=0.0, lr_values=(0.05,), lr_epochs=(1,),
+                        out_root=str(tmp_path / "exps"))
+    ferplus_baselines(cfg, imdb)
+    exp_dir = tmp_path / "exps" / cfg.exp_name()
+    build_synthetic_track_imdb(tmp_path / "rml", tracks_per_class=2,
+                               with_frames=True)
+    monkeypatch.chdir(tmp_path)
+    assert main(["visual-feats", "dataset=synthetic",
+                 f"root={tmp_path / 'rml'}", f"checkpoint={exp_dir}",
+                 f"feats={tmp_path / 'vf.npz'}", "batch_size=8"]) == 0
+    assert (tmp_path / "vf.npz").exists()
