@@ -404,3 +404,79 @@ def test_initialize_multihost_argument_plumbing(monkeypatch):
     calls.clear()
     initialize_multihost()  # Cloud TPU auto-detection path
     assert calls == [{}]
+
+
+def test_multihost_two_process_training(tmp_path):
+    """REAL multi-host DP: two OS processes, 2 CPU devices each, joined
+    by jax.distributed.initialize into one 4-device job; each runs the
+    actual student train step on its local batch shard with collectives
+    crossing the process boundary (the CPU/Gloo stand-in for DCN,
+    SURVEY.md section 5.8). Asserts (a) both processes compute identical
+    losses and final params — the ParameterServer correctness property
+    (run_distillation.m:179-181) across real process boundaries — and
+    (b) the result matches a single-process run on the full batch."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    # a free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = Path(__file__).resolve().parent.parent
+    outs = [tmp_path / f"fp{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(repo / "tests" / "multihost_worker.py"),
+             str(i), "2", str(port), str(outs[i])],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
+    fp0, fp1 = (json.loads(o.read_text()) for o in outs)
+    assert fp0["device_count"] == fp1["device_count"] == 4
+    assert {fp0["process_index"], fp1["process_index"]} == {0, 1}
+    # identical across processes (same program, same collectives)
+    assert fp0["losses"] == fp1["losses"]
+    assert fp0["param_l2"] == fp1["param_l2"]
+
+    # single-process reference on the full batch (this process)
+    from mcncrossmodalemotions_tpu.train.state import (
+        SGDConfig,
+        TrainState,
+        make_train_step,
+    )
+    from mcncrossmodalemotions_tpu.zoo import student_loss_fn
+    from tests.multihost_worker import build_case
+
+    model, batch, lr, num_steps = build_case()
+    variables = model.init(jax.random.PRNGKey(0), batch["data"][:1])
+    state = TrainState.create(variables, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(model.apply,
+                                   student_loss_fn("hot-cross-ent"),
+                                   SGDConfig(weight_decay=0.0)))
+    losses = []
+    for _ in range(num_steps):
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()}, lr)
+        losses.append(float(np.asarray(jax.device_get(metrics["loss"]))))
+    np.testing.assert_allclose(losses, fp0["losses"], atol=1e-4)
+    l2 = float(np.sqrt(sum(
+        float(jnp.sum(jnp.square(x)))
+        for x in jax.tree.leaves(jax.device_get(state.params)))))
+    np.testing.assert_allclose(l2, fp0["param_l2"], rtol=1e-5)
