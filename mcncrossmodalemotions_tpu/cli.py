@@ -193,6 +193,32 @@ def _resolve_student(opts):
     return model, variables, name
 
 
+def _resolve_teacher(opts):
+    """Teacher source -> (pipeline_model, variables, model_name).
+
+    Mirrors ``_resolve_student``: 'random' null, a registry name /
+    released .mat, or ``checkpoint=<exp_dir>`` [``epoch=best|N``] for a
+    trained ferplus_baselines run (load_teacher_from_exp)."""
+    if "checkpoint" in opts:
+        from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+            load_teacher_from_exp,
+        )
+
+        epoch = opts.get("epoch")
+        if epoch is not None and epoch != "best":
+            epoch = int(epoch)
+        model, variables = load_teacher_from_exp(opts["checkpoint"],
+                                                 epoch=epoch)
+        return model, variables, opts["checkpoint"]
+    name = opts.get("model", "senet50-ferplus")
+    if name == "random":
+        return None, None, "random"
+    from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
+
+    model, variables = load_pretrained_teacher(name, with_pipeline=True)
+    return model, variables, name
+
+
 def cmd_fetch_imdb(argv):
     """fetch_emovoxceleb_imdb equivalent (fetch_emovoxceleb_imdb.m).
 
@@ -369,24 +395,7 @@ def cmd_visual_feats(argv):
 
     opts, _ = _opt_dict(argv)
     name, imdb = _resolve_track_imdb(opts)
-    model_name = opts.get("model", "senet50-ferplus")
-    model = variables = None
-    if "checkpoint" in opts:
-        from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
-            load_teacher_from_exp,
-        )
-
-        epoch = opts.get("epoch")
-        if epoch is not None and epoch != "best":
-            epoch = int(epoch)
-        model, variables = load_teacher_from_exp(opts["checkpoint"],
-                                                 epoch=epoch)
-        model_name = opts["checkpoint"]
-    elif model_name != "random":
-        from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
-
-        model, variables = load_pretrained_teacher(model_name,
-                                                   with_pipeline=True)
+    model, variables, model_name = _resolve_teacher(opts)
     logits = compute_visual_feats(
         imdb, model=model, variables=variables, model_name=model_name,
         feat_path=opts.get("feats"),
@@ -428,13 +437,7 @@ def cmd_emo_benchmarks(argv):
             compute_visual_feats,
         )
 
-        model_name = opts.get("model", "senet50-ferplus")
-        model = variables = None
-        if model_name != "random":
-            from mcncrossmodalemotions_tpu.zoo import load_pretrained_teacher
-
-            model, variables = load_pretrained_teacher(model_name,
-                                                       with_pipeline=True)
+        model, variables, model_name = _resolve_teacher(opts)
         logits = compute_visual_feats(imdb, model=model, variables=variables,
                                       model_name=model_name,
                                       feat_path=opts.get("feats"),

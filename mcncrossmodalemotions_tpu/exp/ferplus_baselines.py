@@ -274,18 +274,10 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
     # to the distillation driver, run_distillation.m:227-240, extended
     # here so trained teachers reload from their exp dir alone —
     # load_teacher_from_exp / the dev-checkpoint registry).
-    import platform
-    import time
+    from mcncrossmodalemotions_tpu.utils.config import write_run_meta
 
-    from mcncrossmodalemotions_tpu.utils.config import struct2str, to_dict
-
-    exp_dir.mkdir(parents=True, exist_ok=True)
-    stamp = time.strftime("%Y%m%d-%H%M%S")
-    (exp_dir / f"meta-{stamp}.json").write_text(json.dumps(
-        {"config": to_dict(cfg), "hostname": platform.node(),
-         "timestamp": stamp, "data_type": data_type,
-         "num_images": int(imdb.data.shape[0])}, indent=2))
-    (exp_dir / f"meta-{stamp}.txt").write_text(struct2str(cfg))
+    write_run_meta(exp_dir, cfg, data_type=data_type,
+                   num_images=int(imdb.data.shape[0]))
 
     state, history = trainer.fit(
         lambda epoch: ferplus_batches(imdb, 1, cfg.batch_size, shuffle=True,
@@ -376,45 +368,51 @@ def load_teacher_from_exp(exp_dir, epoch: int | str | None = None,
     import jax.numpy as jnp
 
     from mcncrossmodalemotions_tpu.train.state import TrainState
+    from mcncrossmodalemotions_tpu.utils.config import (
+        read_latest_run_config,
+    )
 
-    exp_dir = Path(exp_dir)
-    metas = sorted(exp_dir.glob("meta-*.json"))
-    if not metas:
-        raise FileNotFoundError(
-            f"no meta-*.json in {exp_dir} — not a ferplus_baselines exp "
-            "dir (meta dumps ship with runs trained from this round on)")
-    cfg_dict = json.loads(metas[-1].read_text())["config"]
-    fields = {f.name for f in dataclasses.fields(FerPlusConfig)}
-    cfg = FerPlusConfig(**{k: tuple(v) if isinstance(v, list) else v
-                           for k, v in cfg_dict.items() if k in fields})
+    cfg = read_latest_run_config(exp_dir, FerPlusConfig)
 
     if cfg.pretrained_mat is not None:
+        from mcncrossmodalemotions_tpu.zoo.matconvnet import mat_cache_scope
         from mcncrossmodalemotions_tpu.zoo.registry import (
             CLASSIC_MODELS,
             VGGFACE2_MODELS,
             load_pretrained_teacher,
             prepare_classic_from_base,
             prepare_teacher_from_base,
+            release_mean_rgb,
         )
 
-        if cfg.model in VGGFACE2_MODELS:
-            teacher, _ = prepare_teacher_from_base(
-                cfg.pretrained_mat, num_outputs=cfg.num_classes,
-                seed=cfg.seed)
-        elif cfg.model in CLASSIC_MODELS:
-            teacher, _ = prepare_classic_from_base(
-                cfg.pretrained_mat, cfg.model,
-                num_outputs=cfg.num_classes, seed=cfg.seed,
-                use_bnorm=cfg.use_bnorm)
-        else:
-            pipe, _ = load_pretrained_teacher(cfg.pretrained_mat,
-                                              with_pipeline=True,
-                                              input_size=cfg.input_size)
-            teacher = pipe.teacher
+        # Same params+meta reads as the training path — including the
+        # release's OWN averageImage: mean_rgb is a module attribute,
+        # not a checkpointed param, so omitting it here would evaluate
+        # the reloaded teacher under a different input normalisation
+        # than it was trained with.
+        with mat_cache_scope():
+            if cfg.model in VGGFACE2_MODELS:
+                teacher, _ = prepare_teacher_from_base(
+                    cfg.pretrained_mat, num_outputs=cfg.num_classes,
+                    seed=cfg.seed)
+            elif cfg.model in CLASSIC_MODELS:
+                teacher, _ = prepare_classic_from_base(
+                    cfg.pretrained_mat, cfg.model,
+                    num_outputs=cfg.num_classes, seed=cfg.seed,
+                    use_bnorm=cfg.use_bnorm)
+            else:
+                pipe, _ = load_pretrained_teacher(cfg.pretrained_mat,
+                                                  with_pipeline=True,
+                                                  input_size=cfg.input_size)
+                teacher = pipe.teacher
+            mean = (pipe.mean_rgb if cfg.model not in
+                    VGGFACE2_MODELS + CLASSIC_MODELS
+                    else release_mean_rgb(cfg.pretrained_mat))
         teacher = dataclasses.replace(teacher, dropout_rate=0.0)
+        mean_kw = {"mean_rgb": mean} if mean is not None else {}
         model = FaceTeacherPipeline(teacher=teacher,
                                     input_size=cfg.input_size,
-                                    augment=False)
+                                    augment=False, **mean_kw)
     else:
         model = build_pipeline(cfg)
         model = dataclasses.replace(
@@ -423,18 +421,7 @@ def load_teacher_from_exp(exp_dir, epoch: int | str | None = None,
     x = jnp.zeros((1, 48, 48, 1), jnp.uint8)
     template = TrainState.create(model.init(jax.random.PRNGKey(0), x),
                                  jax.random.PRNGKey(0))
-
-    if epoch == "best":
-        epoch = ckpt_lib.find_best_epoch(exp_dir)
-        if epoch is None:
-            raise FileNotFoundError(f"no epoch metrics in {exp_dir}")
-    if epoch is None:
-        found, state = ckpt_lib.load_latest(exp_dir, template)
-        if found == 0:
-            raise FileNotFoundError(f"no checkpoints in {exp_dir}")
-    else:
-        state = ckpt_lib.load_checkpoint(
-            ckpt_lib.checkpoint_path(exp_dir, int(epoch)), template)
+    state = ckpt_lib.restore_from_exp(exp_dir, template, epoch)
     variables = {"params": state.params, **state.model_state}
     if with_pipeline:
         return model, variables

@@ -15,9 +15,6 @@ mesh's 'data' axis when a mesh is passed.
 from __future__ import annotations
 
 import dataclasses
-import json
-import platform
-import time
 from pathlib import Path
 from typing import Optional
 
@@ -32,7 +29,7 @@ from mcncrossmodalemotions_tpu.data.imdb import (
     EmoVoxImdb,
 )
 from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer, logspace_lr
-from mcncrossmodalemotions_tpu.utils.config import config_hash, struct2str, to_dict
+from mcncrossmodalemotions_tpu.utils.config import config_hash, write_run_meta
 from mcncrossmodalemotions_tpu.zoo import build_student, student_loss_fn
 
 
@@ -304,17 +301,9 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
                       train_step_override=step_override)
 
     # Run-metadata dump (storeMetaInfo, run_distillation.m:227-240)
-    exp_dir.mkdir(parents=True, exist_ok=True)
-    stamp = time.strftime("%Y%m%d-%H%M%S")
-    meta = {
-        "config": to_dict(cfg),
-        "hostname": platform.node(),
-        "timestamp": stamp,
-        "num_train_tracks": int(train_imdb.num_tracks),
-        "num_val_tracks": int(val_imdb.num_tracks),
-    }
-    (exp_dir / f"meta-{stamp}.json").write_text(json.dumps(meta, indent=2))
-    (exp_dir / f"meta-{stamp}.txt").write_text(struct2str(cfg))
+    write_run_meta(exp_dir, cfg,
+                   num_train_tracks=int(train_imdb.num_tracks),
+                   num_val_tracks=int(val_imdb.num_tracks))
 
     example = next(iter(train_batcher.batches(epoch=1, epoch_size=cfg.batch_size)))
     state, history = trainer.fit(
@@ -352,53 +341,36 @@ def load_student_from_exp(exp_dir, epoch: int | str | None = None,
     import jax.numpy as jnp
 
     from mcncrossmodalemotions_tpu.ops.spectrogram import DEFAULT_SPEC
-    from mcncrossmodalemotions_tpu.train.checkpoints import (
-        checkpoint_path,
-        find_best_epoch,
-        load_checkpoint,
-        load_latest,
-    )
+    from mcncrossmodalemotions_tpu.train.checkpoints import restore_from_exp
     from mcncrossmodalemotions_tpu.train.state import TrainState
+    from mcncrossmodalemotions_tpu.utils.config import (
+        read_latest_run_config,
+    )
 
-    exp_dir = Path(exp_dir)
-    metas = sorted(exp_dir.glob("meta-*.json"))
-    if not metas:
-        raise FileNotFoundError(
-            f"no meta-*.json in {exp_dir} — not a run_distillation exp dir")
-    cfg_dict = json.loads(metas[-1].read_text())["config"]
-    fields = {f.name for f in dataclasses.fields(DistillationConfig)}
-    cfg = DistillationConfig(**{k: v for k, v in cfg_dict.items()
-                                if k in fields})
+    cfg = read_latest_run_config(exp_dir, DistillationConfig)
 
     # Rebuild the TRAINING module (frontend pipeline) to restore into;
     # dropout is parameter-free, so eval uses rate 0 without affecting
-    # the checkpoint structure.
+    # the checkpoint structure. The frontend flag is honoured so the
+    # reloaded module matches the recorded run config's compute path.
     if cfg.from_scratch:
         pipeline = build_student(
             cfg.student, num_outputs=cfg.num_pred_emotions, dropout=0.0,
-            tiny=cfg.tiny_model, loss_type=cfg.loss_type)
+            tiny=cfg.tiny_model, loss_type=cfg.loss_type,
+            use_pallas_frontend=cfg.use_pallas_frontend)
     else:
         from mcncrossmodalemotions_tpu.zoo import load_pretrained_student
 
         pipeline, _ = load_pretrained_student(cfg.pretrained_student,
                                               with_frontend=True)
-        pipeline = _dc.replace(pipeline, dropout_rate=0.0)
+        pipeline = _dc.replace(
+            pipeline, dropout_rate=0.0,
+            use_pallas_frontend=cfg.use_pallas_frontend)
     wav = jnp.zeros((1, DEFAULT_SPEC.crop_samples(
         int(round(100 * cfg.num_seconds)))), jnp.float32)
     template = TrainState.create(pipeline.init(jax.random.PRNGKey(0), wav),
                                  jax.random.PRNGKey(0))
-
-    if epoch == "best":
-        epoch = find_best_epoch(exp_dir)
-        if epoch is None:
-            raise FileNotFoundError(f"no epoch metrics in {exp_dir}")
-    if epoch is None:
-        found, state = load_latest(exp_dir, template)
-        if found == 0:
-            raise FileNotFoundError(f"no checkpoints in {exp_dir}")
-    else:
-        state = load_checkpoint(checkpoint_path(exp_dir, int(epoch)),
-                                template)
+    state = restore_from_exp(exp_dir, template, epoch)
     variables = {"params": state.params, **state.model_state}
     if with_frontend:
         return pipeline, variables

@@ -142,3 +142,25 @@ def find_best_epoch(exp_dir: str | Path, priority_metric: str = "classerror",
                     path.unlink(missing_ok=True)
                 (path.parent / f"net-epoch-{epoch}.json").unlink(missing_ok=True)
     return best_epoch
+
+
+def restore_from_exp(exp_dir, template, epoch=None):
+    """Restore a state pytree from an experiment dir's checkpoints.
+
+    Shared epoch resolution for the checkpoint-reload flows
+    (exp.run_distillation.load_student_from_exp /
+    exp.ferplus_baselines.load_teacher_from_exp): ``epoch=None`` loads
+    the latest readable checkpoint (last-good fallback), ``'best'``
+    resolves via :func:`find_best_epoch`, an int loads that epoch
+    exactly. Raises FileNotFoundError when nothing is restorable."""
+    exp_dir = Path(exp_dir)
+    if epoch == "best":
+        epoch = find_best_epoch(exp_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no epoch metrics in {exp_dir}")
+    if epoch is None:
+        found, state = load_latest(exp_dir, template)
+        if found == 0:
+            raise FileNotFoundError(f"no checkpoints in {exp_dir}")
+        return state
+    return load_checkpoint(checkpoint_path(exp_dir, int(epoch)), template)

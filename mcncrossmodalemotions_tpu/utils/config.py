@@ -163,3 +163,47 @@ def config_hash(cfg: Any) -> str:
 
     blob = json.dumps(to_dict(cfg), sort_keys=True, default=repr).encode()
     return hashlib.sha1(blob).hexdigest()[:10]
+
+
+def write_run_meta(exp_dir, cfg: Any, **extra) -> str:
+    """Run-metadata dump (the storeMetaInfo pattern,
+    run_distillation.m:227-240): twin ``meta-<stamp>.json``/``.txt``
+    files recording the full config + hostname + timestamp (+ any
+    driver-specific ``extra`` keys). The JSON side is a load-bearing
+    contract — ``read_latest_run_config`` rebuilds configs from it for
+    the checkpoint-reload flows. Returns the stamp."""
+    import json
+    import platform
+    import time
+    from pathlib import Path
+
+    exp_dir = Path(exp_dir)
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    meta = {"config": to_dict(cfg), "hostname": platform.node(),
+            "timestamp": stamp, **extra}
+    (exp_dir / f"meta-{stamp}.json").write_text(json.dumps(meta, indent=2))
+    (exp_dir / f"meta-{stamp}.txt").write_text(struct2str(cfg))
+    return stamp
+
+
+def read_latest_run_config(exp_dir, config_cls):
+    """Rebuild a run's config dataclass from its newest meta dump.
+
+    Unknown keys are dropped (forward compatibility) and JSON lists are
+    coerced back to tuples for tuple-defaulted fields. Raises
+    FileNotFoundError when the directory carries no meta dump."""
+    import json
+    from pathlib import Path
+
+    exp_dir = Path(exp_dir)
+    metas = sorted(exp_dir.glob("meta-*.json"))
+    if not metas:
+        raise FileNotFoundError(
+            f"no meta-*.json in {exp_dir} — not a {config_cls.__name__} "
+            "experiment directory (meta dumps ship with every training "
+            "run)")
+    cfg_dict = json.loads(metas[-1].read_text())["config"]
+    fields = {f.name for f in dataclasses.fields(config_cls)}
+    return config_cls(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in cfg_dict.items() if k in fields})

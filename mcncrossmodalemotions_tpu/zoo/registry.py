@@ -377,6 +377,14 @@ DEV_CHECKPOINTS = {
 }
 
 
+def _resolve_dev(name: str):
+    """(exp subdir, pinned epoch) for a dev model name, or KeyError."""
+    if name not in DEV_CHECKPOINTS:
+        raise KeyError(f"unknown dev checkpoint {name!r}; known: "
+                       f"{sorted(DEV_CHECKPOINTS)}")
+    return DEV_CHECKPOINTS[name]
+
+
 def dev_checkpoint_path(name: str, exps_root):
     """Resolve a dev model name to its pinned epoch checkpoint path
     (ferPlusZoo.m:63-92 'net-epoch-N' mapping)."""
@@ -384,10 +392,7 @@ def dev_checkpoint_path(name: str, exps_root):
 
     from mcncrossmodalemotions_tpu.train.checkpoints import checkpoint_path
 
-    if name not in DEV_CHECKPOINTS:
-        raise KeyError(f"unknown dev checkpoint {name!r}; known: "
-                       f"{sorted(DEV_CHECKPOINTS)}")
-    subdir, epoch = DEV_CHECKPOINTS[name]
+    subdir, epoch = _resolve_dev(name)
     return checkpoint_path(Path(exps_root) / subdir, epoch)
 
 
@@ -402,10 +407,7 @@ def load_dev_checkpoint(name: str, exps_root):
         load_teacher_from_exp,
     )
 
-    if name not in DEV_CHECKPOINTS:
-        raise KeyError(f"unknown dev checkpoint {name!r}; known: "
-                       f"{sorted(DEV_CHECKPOINTS)}")
-    subdir, epoch = DEV_CHECKPOINTS[name]
+    subdir, epoch = _resolve_dev(name)
     return load_teacher_from_exp(Path(exps_root) / subdir, epoch=epoch)
 
 
