@@ -17,8 +17,13 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)
+if __name__ == "__main__":
+    # Worker-process only: the parent test process imports this module
+    # for build_case() mid-suite, when ITS backend is already
+    # initialized with conftest's 8 devices — updating the device count
+    # there would raise (and would be wrong anyway).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
 
 
 def main(argv):

@@ -423,31 +423,46 @@ def test_multihost_two_process_training(tmp_path):
 
     import jax.numpy as jnp
 
-    # a free port for the coordinator
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
     repo = Path(__file__).resolve().parent.parent
     outs = [tmp_path / f"fp{i}.json" for i in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(repo / "tests" / "multihost_worker.py"),
-             str(i), "2", str(port), str(outs[i])],
-            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)
-    ]
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multihost worker timed out")
-        logs.append(out.decode(errors="replace"))
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
+
+    def spawn_workers():
+        # Free-port probe is bind-then-close, a TOCTOU window: another
+        # process can claim the port before the coordinator binds it.
+        # The caller retries the whole spawn on a bind-shaped failure.
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 str(repo / "tests" / "multihost_worker.py"),
+                 str(i), "2", str(port), str(outs[i])],
+                cwd=repo, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT)
+            for i in range(2)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("multihost worker timed out")
+            logs.append(out.decode(errors="replace"))
+        return procs, logs
+
+    for attempt in range(3):
+        procs, logs = spawn_workers()
+        if all(p.returncode == 0 for p in procs):
+            break
+        bindish = any(kw in log.lower() for log in logs
+                      for kw in ("bind", "address already in use",
+                                 "failed to connect"))
+        if not bindish or attempt == 2:
+            for p, log in zip(procs, logs):
+                assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
     fp0, fp1 = (json.loads(o.read_text()) for o in outs)
     assert fp0["device_count"] == fp1["device_count"] == 4
     assert {fp0["process_index"], fp1["process_index"]} == {0, 1}
