@@ -360,6 +360,7 @@ def cmd_audio_feats(argv):
 
     Usage: audio-feats dataset=rml root=<dir> feats=<out.npz>
            [model=emovoxceleb-student|random] [batch_size=64] [limit=N]
+           [clobber=0]
     (For the EmoVoxCeleb imdb itself pass imdb=<src> instead of dataset=.)
     """
     from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
@@ -376,7 +377,8 @@ def cmd_audio_feats(argv):
         imdb, model=model, variables=variables, model_name=model_name,
         feat_path=opts.get("feats"),
         batch_size=int(opts.get("batch_size", 64)),
-        limit=int(opts["limit"]) if "limit" in opts else None)
+        limit=int(opts["limit"]) if "limit" in opts else None,
+        clobber=_to_bool(opts.get("clobber", "0")))
     print(f"{name}: {len(logits)} tracks -> "
           f"{opts.get('feats') or '(not cached)'}")
     return 0
@@ -388,6 +390,7 @@ def cmd_visual_feats(argv):
     Usage: visual-feats dataset=afew root=<dir> feats=<out.npz>
            [model=senet50-ferplus|random] [checkpoint=<exp_dir>]
            [epoch=best|N] [frame_root=<dir>] [batch_size=128] [limit=N]
+           [clobber=0]
     """
     from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
         compute_visual_feats,
@@ -401,7 +404,8 @@ def cmd_visual_feats(argv):
         feat_path=opts.get("feats"),
         frame_root=opts.get("frame_root", ""),
         batch_size=int(opts.get("batch_size", 128)),
-        limit=int(opts["limit"]) if "limit" in opts else None)
+        limit=int(opts["limit"]) if "limit" in opts else None,
+        clobber=_to_bool(opts.get("clobber", "0")))
     print(f"{name}: {len(logits)} tracks -> "
           f"{opts.get('feats') or '(not cached)'}")
     return 0
@@ -412,7 +416,7 @@ def cmd_emo_benchmarks(argv):
     an external benchmark (run_cross_val + mnr remapping inside).
 
     Usage: emo-benchmarks dataset=rml root=<dir> [modality=audio|visual]
-           [model=...|random] [feats=feats.npz] [num_folds=10]
+           [model=...|random] [feats=feats.npz] [clobber=0] [num_folds=10]
            [aggregator=max] [fig_dir=figs] [exp_root=exps]
     AFEW uses its predefined val split + the 381/383 adjustment.
     """
@@ -431,7 +435,9 @@ def cmd_emo_benchmarks(argv):
         model, variables, model_name = _resolve_student(opts)
         logits = compute_audio_feats(imdb, model=model, variables=variables,
                                      model_name=model_name,
-                                     feat_path=opts.get("feats"))
+                                     feat_path=opts.get("feats"),
+                                     clobber=_to_bool(opts.get("clobber",
+                                                               "0")))
     elif modality == "visual":
         from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
             compute_visual_feats,
@@ -441,7 +447,9 @@ def cmd_emo_benchmarks(argv):
         logits = compute_visual_feats(imdb, model=model, variables=variables,
                                       model_name=model_name,
                                       feat_path=opts.get("feats"),
-                                      frame_root=opts.get("frame_root", ""))
+                                      frame_root=opts.get("frame_root", ""),
+                                      clobber=_to_bool(opts.get("clobber",
+                                                                "0")))
     else:
         raise KeyError(f"modality must be audio|visual, got {modality!r}")
     spec = {"track_logits": logits, "labels": imdb.labels,

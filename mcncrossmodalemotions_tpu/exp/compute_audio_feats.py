@@ -275,13 +275,16 @@ def compute_audio_feats(imdb, model=None, variables=None,
                         num_classes: int = 8,
                         seed: int = 0,
                         limit: Optional[int] = None,
+                        clobber: bool = False,
                         verbose: bool = True) -> List[np.ndarray]:
     """Per-track student logits for a TrackImdb/EmoVoxImdb.
 
     ``model_name='random'`` emits gaussian logits (the null baseline,
-    compute_audio_feats.m:95-99). Results cached at ``feat_path``.
+    compute_audio_feats.m:95-99). Results cached at ``feat_path``;
+    ``clobber`` recomputes and overwrites an existing cache
+    (compute_audio_feats.m:38,55).
     """
-    if feat_path and Path(feat_path).exists():
+    if feat_path and Path(feat_path).exists() and not clobber:
         data = np.load(feat_path, allow_pickle=True)
         return list(data["logits"])
     wav_dir = getattr(imdb, "wav_dir", "")

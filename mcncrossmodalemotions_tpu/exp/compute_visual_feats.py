@@ -165,17 +165,22 @@ def compute_visual_feats(imdb, model=None, variables=None,
                          frame_root: str = "",
                          limit: Optional[int] = None,
                          mesh=None,
+                         clobber: bool = False,
                          verbose: bool = True) -> List[np.ndarray]:
     """Per-track [F, C] teacher logits for a TrackImdb.
 
     ``model_name='random'`` emits gaussian logits (null baseline).
     Cached at ``feat_path``; when ``feat_path`` is set the dense pass is
     also resumable via a ``<feat_path>.partial.npz`` checkpoint. ``mesh``
-    shards inference batches over the device mesh.
+    shards inference batches over the device mesh. ``clobber`` recomputes
+    and overwrites an existing cache (and discards any stale partial,
+    compute_visual_feats.m:5).
     """
-    if feat_path and Path(feat_path).exists():
+    if feat_path and Path(feat_path).exists() and not clobber:
         data = np.load(feat_path, allow_pickle=True)
         return list(data["logits"])
+    if feat_path and clobber:
+        Path(f"{feat_path}.partial.npz").unlink(missing_ok=True)
     tracks = imdb.frame_paths
     if limit:
         tracks = tracks[:limit]

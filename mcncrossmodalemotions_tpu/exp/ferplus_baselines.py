@@ -303,15 +303,17 @@ def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
                              tiny_model: bool = False,
                              base_cfg: Optional[FerPlusConfig] = None,
                              cache_dir: Optional[str] = None,
-                             pretrained_mats: Optional[dict] = None):
+                             pretrained_mats: Optional[dict] = None,
+                             refresh: bool = False):
     """``benchmark_ferplus_models.m`` equivalent: val+test accuracy table.
 
     Evaluates each (model, loss) pair on FER+ val and test via eval-only
-    runs; results cached per model (:40-60). ``base_cfg`` carries the
-    training-time options so eval resolves the same experiment dir.
-    ``pretrained_mats`` maps a model name to a released .mat path so the
-    benchmark runs the released weights directly (the reference's
-    download-on-miss path, ferPlusZoo.m:103-114).
+    runs; results cached per model (:40-60), ``refresh`` re-evaluates past
+    the cache (:22). ``base_cfg`` carries the training-time options so
+    eval resolves the same experiment dir. ``pretrained_mats`` maps a
+    model name to a released .mat path so the benchmark runs the released
+    weights directly (the reference's download-on-miss path,
+    ferPlusZoo.m:103-114).
     """
     results = {}
     for model_name, loss_type in models:
@@ -330,7 +332,7 @@ def benchmark_ferplus_models(imdb: FerPlusImdb, out_root: str = "exps",
         # re-evaluate, not report the stale numbers
         cache = (Path(cache_dir) / f"{cfg.exp_name()}.json") if cache_dir \
             else None
-        if cache and cache.exists():
+        if cache and cache.exists() and not refresh:
             results[model_name] = json.loads(cache.read_text())
             continue
         row = {}

@@ -131,6 +131,18 @@ def test_benchmark_ferplus_models_caching(tmp_path):
         imdb, out_root=str(tmp_path), tiny_model=True, base_cfg=base,
         cache_dir=str(tmp_path / "cache"))
     assert again == results
+    # refresh re-evaluates past a (here: poisoned) cache
+    # (benchmark_ferplus_models.m:22,42-60)
+    for f in (tmp_path / "cache").glob("*.json"):
+        f.write_text('{"valAcc": -1.0, "testAcc": -1.0}')
+    poisoned = benchmark_ferplus_models(
+        imdb, out_root=str(tmp_path), tiny_model=True, base_cfg=base,
+        cache_dir=str(tmp_path / "cache"))
+    assert all(r["valAcc"] == -1.0 for r in poisoned.values())
+    fresh = benchmark_ferplus_models(
+        imdb, out_root=str(tmp_path), tiny_model=True, base_cfg=base,
+        cache_dir=str(tmp_path / "cache"), refresh=True)
+    assert fresh == results
 
 
 def test_random_model_null_baseline(tmp_path):

@@ -117,6 +117,14 @@ def test_compute_audio_feats_caching(tmp_path, rng):
     # second call hits the cache: identical despite different seed
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+    # clobber recomputes and overwrites (compute_audio_feats.m:38,55)
+    c = compute_audio_feats(imdb, model_name="random", num_classes=8,
+                            feat_path=str(feat_path), seed=123, clobber=True)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+    d = compute_audio_feats(imdb, model_name="random", num_classes=8,
+                            feat_path=str(feat_path))  # cache now seed-123
+    for x, y in zip(c, d):
+        np.testing.assert_array_equal(x, y)
 
 
 @pytest.fixture(scope="module")
@@ -149,6 +157,29 @@ def test_visual_extractor_and_regrouping(tmp_path, tiny_teacher_pipeline):
     assert len(logits) == imdb.num_tracks
     for track_frames, track_logits in zip(imdb.frame_paths, logits):
         assert track_logits.shape == (len(track_frames), 8)
+
+
+def test_compute_visual_feats_clobber(tmp_path):
+    """clobber recomputes past an existing cache + discards stale
+    partials (compute_visual_feats.m:5)."""
+    from mcncrossmodalemotions_tpu.data.external import build_synthetic_track_imdb
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        compute_visual_feats,
+    )
+
+    imdb = build_synthetic_track_imdb(tmp_path / "rml", tracks_per_class=1,
+                                      with_frames=True)
+    feat_path = tmp_path / "vfeats.npz"
+    a = compute_visual_feats(imdb, model_name="random", feat_path=str(feat_path))
+    stale_partial = tmp_path / "vfeats.npz.partial.npz"
+    stale_partial.write_bytes(b"junk")
+    b = compute_visual_feats(imdb, model_name="random",
+                             feat_path=str(feat_path), seed=123, clobber=True)
+    assert not stale_partial.exists()
+    assert any(not np.array_equal(x, y) for x, y in zip(a, b))
+    c = compute_visual_feats(imdb, model_name="random", feat_path=str(feat_path))
+    for x, y in zip(b, c):
+        np.testing.assert_array_equal(x, y)
 
 
 def test_fetch_emovoxceleb_imdb_build(tmp_path, tiny_teacher_pipeline):
