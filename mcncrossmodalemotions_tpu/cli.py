@@ -114,12 +114,12 @@ def cmd_reproduce_ferplus(argv):
 
 
 def _to_bool(value) -> bool:
-    s = str(value).strip().lower()
-    if s in ("1", "true", "yes", "on"):
-        return True
-    if s in ("0", "false", "no", "off"):
-        return False
-    raise ValueError(f"not a boolean: {value!r}")
+    """One boolean-token table for the whole CLI: delegate to the
+    dataclass-override coercer so ad-hoc options (download=, refresh=)
+    accept exactly what config overrides (use_bnorm=) do."""
+    from mcncrossmodalemotions_tpu.utils.config import _coerce
+
+    return bool(_coerce(str(value).strip(), False))
 
 
 def _opt_dict(argv):
@@ -263,9 +263,6 @@ def cmd_student_stats(argv):
            [temperature=1] [fig_dir=figs] [vis_hist=true] [cache=aucs.json]
            [refresh=true]
     """
-    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
-        compute_audio_feats,
-    )
     from mcncrossmodalemotions_tpu.exp.student_stats import (
         IGNORE_EMOTIONS,
         student_stats,
@@ -274,13 +271,13 @@ def cmd_student_stats(argv):
     opts, _ = _opt_dict(argv)
     imdb = _resolve_emovox_imdb(opts)
     model, variables, model_name = _resolve_student(opts)
-    logits = compute_audio_feats(imdb, model=model, variables=variables,
-                                 model_name=model_name,
-                                 feat_path=opts.get("feats"))
     ignore = (tuple(opts["ignore"].split(",")) if "ignore" in opts
               else IGNORE_EMOTIONS)
+    # student_logits stay None: the dense inference runs lazily inside
+    # student_stats, so an AUC-cache hit skips it entirely.
     results = student_stats(
-        imdb, student_logits=logits,
+        imdb, model=model, variables=variables,
+        model_name=model_name, feat_path=opts.get("feats"),
         temperature=float(opts.get("temperature", 1.0)),
         partition=opts.get("partition", "all"),
         ignore=ignore,

@@ -119,6 +119,36 @@ def aggregate_logits(wav_logits: np.ndarray, t0: float, t1: float,
     raise ValueError(f"unknown aggregator {aggregator!r}")
 
 
+def pinned_start(start_seconds: float, native_fs: int,
+                 num_samples: int) -> int:
+    """fixedSegments pinned crop start, in native samples.
+
+    The reference reads at ``wr = timeOffsets(ii)*fs+1`` without
+    range-checking and pads only at the clip end
+    (getBatchEmoVoxCeleb.m:91-99); clamp to a valid read instead. This
+    mode also skips the DATASET_LIMIT cap (:81-89) — clamp only to the
+    real file. ONE definition shared by the python and native feed paths
+    (which must stay bit-identical).
+    """
+    return min(max(int(round(start_seconds * native_fs)), 0),
+               max(num_samples - 1, 0))
+
+
+def target_logit_window(wav_logits: np.ndarray, t0: Optional[float],
+                        cfg: BatchConfig) -> np.ndarray:
+    """Teacher-logit aggregation window for one crop.
+
+    ``t0=None`` means fixedSegments mode: targets aggregate over the
+    WHOLE track (getBatchEmoVoxCeleb.m:136-138 ``lgts_sampled = lgts``);
+    otherwise over [t0, t0 + num_seconds]. Shared by the python and
+    native feed paths.
+    """
+    if t0 is None:
+        return aggregate_logits(wav_logits, 0.0, 1e6, cfg.logit_aggregator)
+    return aggregate_logits(wav_logits, t0, t0 + cfg.num_seconds,
+                            cfg.logit_aggregator)
+
+
 def load_crop(wav_path: str | Path, cfg: BatchConfig,
               rng: Optional[np.random.RandomState] = None,
               noise_path: Optional[str] = None,
@@ -151,14 +181,7 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
     )
 
     if start_seconds is not None:
-        # fixedSegments: the caller pins the offset; the reference reads
-        # at wr = timeOffsets(ii)*fs+1 without range-checking and pads
-        # only at the clip end — clamp to a valid read here and keep the
-        # requested t0 for bookkeeping.
-        # the reference skips the DATASET_LIMIT cap in this mode
-        # (getBatchEmoVoxCeleb.m:81-89) — clamp only to the real file
-        start = min(max(int(round(start_seconds * native_fs)), 0),
-                    max(info.num_samples - 1, 0))
+        start = pinned_start(start_seconds, native_fs, info.num_samples)
         total = min(info.num_samples, start + need_native)  # allow tail
     else:
         max_start = max(total - need_native, 0)
@@ -319,16 +342,9 @@ class EmoVoxBatcher:
             if rng is not None and cfg.noise is not None:
                 samples = mix_corpus_noise(samples, cfg.noise, rng,
                                            cfg.spec.sample_rate)
-            if offset is not None:
-                # fixedSegments: targets from the WHOLE track
-                # (getBatchEmoVoxCeleb.m:136-138 lgts_sampled = lgts)
-                window = aggregate_logits(
-                    self.imdb.wav_logits[j], 0.0, 1e6,
-                    cfg.logit_aggregator)
-            else:
-                window = aggregate_logits(
-                    self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
-                    cfg.logit_aggregator)
+            window = target_logit_window(
+                self.imdb.wav_logits[j],
+                None if offset is not None else t0, cfg)
             waves.append(samples)
             starts_times.append(t0)
             targets.append(make_targets(window, cfg))
@@ -377,8 +393,7 @@ class EmoVoxBatcher:
                       else float(self.time_offsets[j]))
             if native_fs == fs:
                 if offset is not None:  # fixedSegments: pinned start
-                    start = min(max(int(round(offset * fs)), 0),
-                                max(num_samples - 1, 0))
+                    start = pinned_start(offset, fs, num_samples)
                 else:
                     total = min(num_samples, int(MAX_CLIP_SECONDS * fs))
                     max_start = max(total - need, 0)
@@ -394,13 +409,9 @@ class EmoVoxBatcher:
                                            start_seconds=offset)
                 rows[pos] = samples
             t0s[pos] = t0
-            if offset is not None:
-                window = aggregate_logits(self.imdb.wav_logits[j],
-                                          0.0, 1e6, cfg.logit_aggregator)
-            else:
-                window = aggregate_logits(
-                    self.imdb.wav_logits[j], t0, t0 + cfg.num_seconds,
-                    cfg.logit_aggregator)
+            window = target_logit_window(
+                self.imdb.wav_logits[j],
+                None if offset is not None else t0, cfg)
             targets.append(make_targets(window, cfg))
         whole_batch_fast = len(fast_paths) == len(chunk)
         fmt = ("mulaw8" if cfg.emit_mulaw

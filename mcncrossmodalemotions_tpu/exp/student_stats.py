@@ -64,6 +64,8 @@ def _prediction_histogram(labels: np.ndarray, title: str,
 def student_stats(imdb: EmoVoxImdb,
                   student_logits: Optional[List[np.ndarray]] = None,
                   model=None, variables=None,
+                  model_name: str = "emovoxceleb-student",
+                  feat_path: Optional[str] = None,
                   temperature: float = 1.0,
                   fig_dir: Optional[str] = None,
                   cache_path: Optional[str] = None,
@@ -81,28 +83,38 @@ def student_stats(imdb: EmoVoxImdb,
     writes dominant-prediction histograms (student overall + teacher
     per partition) into ``fig_dir``.
 
-    The cache records the (partition, ignore, figure) options it was
-    computed under and only answers calls with the SAME options — a
+    The cache records the AUC-relevant options (partition, ignore) it
+    was computed under and only answers calls with the SAME options — a
     cached single-partition result must not masquerade as the full
-    analysis, and a cached figure-less run must not swallow a call that
-    asks for ROC jpgs / visHist histograms (the reference renders its
-    figures on every run regardless of the AUC cache,
-    student_stats.m:99-125).
+    analysis. A call that asks for figures (``fig_dir``) never answers
+    from the cache: the reference renders its ROC jpgs / visHist
+    histograms on every run regardless of the AUC cache
+    (student_stats.m:99-125), and rendering needs the scores.
     """
     if partition != "all" and partition not in PARTITIONS:
         raise KeyError(f"unknown partition {partition!r}; "
                        f"known: {['all'] + list(PARTITIONS)}")
-    options = {"partition": partition, "ignore": sorted(ignore),
-               "figs": bool(fig_dir), "vis_hist": bool(vis_hist and fig_dir)}
-    if cache_path and Path(cache_path).exists() and not refresh:
+    options = {"partition": partition, "ignore": sorted(ignore)}
+    if cache_path and not fig_dir and Path(cache_path).exists() and not refresh:
         cached = json.loads(Path(cache_path).read_text())
-        if cached.get("__options__", {"partition": "all",
-                                      "ignore": sorted(IGNORE_EMOTIONS)}
-                      ) == options:
+        # Compare only the AUC-relevant keys so caches written by older
+        # versions (which also recorded figure options) stay valid; a
+        # cache with no __options__ at all predates single-partition
+        # support and was computed under the defaults.
+        cached_opts = cached.get("__options__",
+                                 {"partition": "all",
+                                  "ignore": sorted(IGNORE_EMOTIONS)})
+        if {k: cached_opts.get(k) for k in options} == options:
             return {k: v for k, v in cached.items() if k != "__options__"}
     if student_logits is None:
+        # Lazy: the dense inference only runs on an AUC-cache miss (the
+        # reference likewise guards the expensive step behind its cache,
+        # student_stats.m:54-58,131-149). model_name/feat_path forward
+        # the 'random' null short-circuit and the feature cache.
         student_logits = compute_audio_feats(imdb, model=model,
                                              variables=variables,
+                                             model_name=model_name,
+                                             feat_path=feat_path,
                                              verbose=verbose)
     scores = np.concatenate([l.reshape(1, -1) if l.ndim == 1 else l[:1]
                              for l in student_logits])  # [N, C]
@@ -133,7 +145,10 @@ def student_stats(imdb: EmoVoxImdb,
             binary = np.where(part_labels == c, 1, -1)
             if (binary > 0).sum() == 0 or (binary < 0).sum() == 0:
                 continue  # emotion not represented in this partition
-            if fig_dir:
+            if fig_dir and emotion not in ignore:
+                # the reference computes AUC for every emotion but only
+                # SAVES the ROC jpg for non-ignored ones
+                # (student_stats.m:118-122 `if ~ismember(... ignore)`)
                 auc = plot_roc(binary, part_scores[:, c],
                                f"{emotion} ({part_name})",
                                str(Path(fig_dir) / f"{emotion}-{part_name}.jpg"))

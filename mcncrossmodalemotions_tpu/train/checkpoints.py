@@ -163,4 +163,14 @@ def restore_from_exp(exp_dir, template, epoch=None):
         if found == 0:
             raise FileNotFoundError(f"no checkpoints in {exp_dir}")
         return state
-    return load_checkpoint(checkpoint_path(exp_dir, int(epoch)), template)
+    # Resolve the epoch's on-disk path via list_checkpoints rather than
+    # assuming the msgpack filename: orbax checkpoints are suffix-less
+    # directories, and the dev-checkpoint registry always pins an int
+    # epoch, so this path must work for both backends.
+    by_epoch = dict(list_checkpoints(exp_dir))
+    path = by_epoch.get(int(epoch))
+    if path is None:
+        raise FileNotFoundError(
+            f"no checkpoint for epoch {epoch} in {exp_dir} "
+            f"(found epochs {sorted(by_epoch)})")
+    return load_checkpoint(path, template)

@@ -837,6 +837,25 @@ def test_student_stats_cache_keyed_on_options(emovox_imdb, tmp_path):
                   fig_dir=str(figs), vis_hist=True)
     assert (figs / "student-pred-hist.jpg").exists()
     assert any(figs.glob("*-unheardVal.jpg"))
+    # a REPEAT figures call re-renders even though the cache now matches
+    # (figures are never cache-answered; student_stats.m:99-125)
+    import shutil
+
+    shutil.rmtree(figs)
+    student_stats(emovox_imdb, student_logits=perfect, cache_path=p,
+                  fig_dir=str(figs), vis_hist=True)
+    assert (figs / "student-pred-hist.jpg").exists()
+    # a legacy cache without __options__ (pre-partition-support format)
+    # answers a default-options call instead of being recomputed
+    import json
+    from pathlib import Path
+
+    legacy = {k: v for k, v in json.loads(Path(p).read_text()).items()
+              if k != "__options__"}
+    sentinel = dict(legacy, train=dict(legacy["train"], meanAuc=0.123))
+    Path(p).write_text(json.dumps(sentinel))
+    hit = student_stats(emovox_imdb, student_logits=perfect, cache_path=p)
+    assert hit["train"]["meanAuc"] == 0.123
     # unknown partitions fail fast, BEFORE any compute or cache read
     with pytest.raises(KeyError):
         student_stats(emovox_imdb, student_logits=perfect,
