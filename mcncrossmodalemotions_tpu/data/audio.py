@@ -96,7 +96,10 @@ def read_wav(path: str | Path, start: int = 0,
     else:
         raise ValueError(f"unsupported bit depth {info.bits_per_sample}")
     if info.num_channels > 1:
-        data = data.reshape(-1, info.num_channels).mean(axis=1)
+        # the reference takes the LEFT stream of stereo files
+        # (compute_audio_feats.m:176 ``z = z(:,1)``), not a downmix
+        data = np.ascontiguousarray(
+            data.reshape(-1, info.num_channels)[:, 0])
     return data, info.sample_rate
 
 

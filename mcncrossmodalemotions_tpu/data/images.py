@@ -2,9 +2,18 @@
 
 Reference preprocessing for VoxCeleb/external face frames
 (fetch_emovoxceleb_imdb.m getImageBatch :152-193,
-compute_visual_feats.m:123-164): JPEG decode -> center-crop to 1/1.6 of
-the short side -> bilinear resize to 224 -> RGB->grayscale -> replicate
-3 channels -> subtract average image.
+compute_visual_feats.m:123-164): JPEG decode -> center-crop -> bilinear
+resize to 224 -> RGB->grayscale -> replicate 3 channels -> subtract
+average image.
+
+Crop semantics follow ``vl_imreadjpeg``: ``CropSize`` is a fraction of
+the LARGEST crop with the OUTPUT aspect ratio contained in the image —
+for the square 224x224 output, a centered square of side
+``crop_ratio * min(h, w)``. The EmoVoxCeleb dense build uses
+``CropSize 1/1.6`` (fetch_emovoxceleb_imdb.m:169); the external-dataset
+extractor uses the default ``CropSize 1`` (full short-side square —
+compute_visual_feats.m:123-143 passes no CropSize because "Afew is
+already tightly cropped").
 
 Split of responsibilities here: the host (this module, or the threaded
 C++ data service in native/) decodes, crops, resizes and grayscales,
@@ -47,17 +56,20 @@ def load_face_frame(path: str | Path, out_size: int = 224,
     """Decode + center-crop + bilinear resize + grayscale -> [S, S, 1] uint8.
 
     Pure-Python reference path for the C++ data service (PIL decodes; the
-    crop/resize/gray math mirrors native/dataservice.cc exactly).
+    crop/resize/gray math mirrors native/dataservice.cc exactly). The
+    crop is a centered SQUARE of side ``crop_ratio * min(h, w)`` — the
+    vl_imreadjpeg CropSize convention (largest output-aspect crop,
+    scaled), see module docstring.
     """
     from PIL import Image
 
     with Image.open(path) as img:
         img = img.convert("RGB")
         w, h = img.size
-        cw, ch = int(round(w * crop_ratio)), int(round(h * crop_ratio))
-        left = (w - cw) // 2
-        top = (h - ch) // 2
-        img = img.crop((left, top, left + cw, top + ch))
+        side = max(1, int(round(crop_ratio * min(w, h))))
+        left = (w - side) // 2
+        top = (h - side) // 2
+        img = img.crop((left, top, left + side, top + side))
         rgb = np.asarray(img, np.float64)
     resized = resize_bilinear_np(rgb, out_size, out_size)
     # ITU-R 601 luma (MATLAB rgb2gray coefficients)
@@ -66,21 +78,25 @@ def load_face_frame(path: str | Path, out_size: int = 224,
 
 
 def load_frame_batch(paths: Sequence[str | Path], out_size: int = 224,
-                     num_threads: int = 8) -> np.ndarray:
+                     num_threads: int = 8,
+                     crop_ratio: float = CROP_RATIO) -> np.ndarray:
     """Threaded batch decode (the vl_imreadjpeg NumThreads analogue).
 
     Uses the C++ data service when built (same decode+crop+resize+gray
     semantics, tested for agreement); falls back to PIL threads.
+    ``crop_ratio`` defaults to the EmoVoxCeleb 1/1.6; the external
+    extractor passes 1.0 (CropSize default, compute_visual_feats.m).
     """
     from mcncrossmodalemotions_tpu.data import native
 
     if native.available():
         return native.decode_faces([str(p) for p in paths], out_size,
-                                   CROP_RATIO, num_threads)
+                                   crop_ratio, num_threads)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
-        frames = list(pool.map(lambda p: load_face_frame(p, out_size), paths))
+        frames = list(pool.map(
+            lambda p: load_face_frame(p, out_size, crop_ratio), paths))
     return np.stack(frames)
 
 

@@ -37,6 +37,11 @@ class VisualFeatureExtractor:
     batch_size: int = 128
     num_threads: int = 8
     input_size: int = 224
+    # vl_imreadjpeg CropSize: external faces are already tightly cropped
+    # so the reference passes no CropSize (default 1 = full short-side
+    # square, compute_visual_feats.m:123-143); the EmoVoxCeleb dense
+    # build overrides with 1/1.6 (fetch_emovoxceleb_imdb.m:169).
+    crop_ratio: float = 1.0
     mesh: object = None
 
     def __post_init__(self):
@@ -66,6 +71,7 @@ class VisualFeatureExtractor:
         import hashlib
 
         h = hashlib.sha1()
+        h.update(f"crop={self.crop_ratio}\n".encode())
         h.update(str(len(frame_paths)).encode())
         h.update("\n".join(map(str, frame_paths[:: max(1, len(frame_paths) // 4096)])).encode())
         for leaf in jax.tree.leaves(self.variables):
@@ -137,12 +143,15 @@ class VisualFeatureExtractor:
         effective_every = max(checkpoint_every, len(chunks) // 20)
         with ThreadPoolExecutor(max_workers=1) as prefetcher:
             future = prefetcher.submit(load_frame_batch, chunks[0],
-                                       self.input_size, self.num_threads)
+                                       self.input_size, self.num_threads,
+                                       self.crop_ratio)
             for ci, chunk in enumerate(chunks):
                 batch = future.result()
                 if ci + 1 < len(chunks):  # overlap next decode with compute
                     future = prefetcher.submit(load_frame_batch, chunks[ci + 1],
-                                               self.input_size, self.num_threads)
+                                               self.input_size,
+                                               self.num_threads,
+                                               self.crop_ratio)
                 batch = self._pad_batch(batch)
                 logits = self._forward(self.variables, jnp.asarray(batch))
                 out.append(np.asarray(jax.device_get(logits))[: len(chunk)])
@@ -164,6 +173,7 @@ def compute_visual_feats(imdb, model=None, variables=None,
                          seed: int = 0,
                          frame_root: str = "",
                          limit: Optional[int] = None,
+                         crop_ratio: float = 1.0,
                          mesh=None,
                          clobber: bool = False,
                          verbose: bool = True) -> List[np.ndarray]:
@@ -174,7 +184,9 @@ def compute_visual_feats(imdb, model=None, variables=None,
     also resumable via a ``<feat_path>.partial.npz`` checkpoint. ``mesh``
     shards inference batches over the device mesh. ``clobber`` recomputes
     and overwrites an existing cache (and discards any stale partial,
-    compute_visual_feats.m:5).
+    compute_visual_feats.m:5). ``crop_ratio=1.0`` is the reference's
+    external-face default (no CropSize, :123-143); the EmoVoxCeleb dense
+    build uses 1/1.6.
     """
     if feat_path and Path(feat_path).exists() and not clobber:
         data = np.load(feat_path, allow_pickle=True)
@@ -192,7 +204,8 @@ def compute_visual_feats(imdb, model=None, variables=None,
         assert model is not None and variables is not None
         flat = [str(Path(frame_root) / p) for track in tracks for p in track]
         extractor = VisualFeatureExtractor(model, variables,
-                                           batch_size=batch_size, mesh=mesh)
+                                           batch_size=batch_size,
+                                           crop_ratio=crop_ratio, mesh=mesh)
         partial = f"{feat_path}.partial.npz" if feat_path else None
         all_logits = extractor.frame_logits(flat, verbose=verbose,
                                             partial_path=partial)

@@ -76,8 +76,10 @@ def build_imdb(root: str | Path, teacher_model, teacher_variables,
         [(set_assignment or {}).get(s, 1) for s in speakers], np.int32
     )
 
+    # CropSize 1/1.6 for the VoxCeleb frames (fetch_emovoxceleb_imdb.m:169)
     extractor = VisualFeatureExtractor(teacher_model, teacher_variables,
-                                       batch_size=batch_size, mesh=mesh)
+                                       batch_size=batch_size,
+                                       crop_ratio=1.0 / 1.6, mesh=mesh)
     flat = [str(frame_root / f) for track in frames for f in track]
     if verbose:
         print(f"dense teacher inference over {len(flat)} frames "

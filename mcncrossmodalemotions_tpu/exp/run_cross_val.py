@@ -30,7 +30,7 @@ def select_peak_logit(track_logits: np.ndarray) -> np.ndarray:
 def aggregate_track(track_logits: np.ndarray, how: str = "max") -> np.ndarray:
     if how == "max":
         return track_logits.max(axis=0)
-    if how == "mean":
+    if how in ("mean", "mean1"):  # 'mean1' = the reference's name (:126)
         return track_logits.mean(axis=0)
     if how == "peak":
         return select_peak_logit(track_logits)
@@ -38,10 +38,18 @@ def aggregate_track(track_logits: np.ndarray, how: str = "max") -> np.ndarray:
 
 
 def kfold_splits(n: int, num_folds: int, seed: int = 0) -> List[np.ndarray]:
-    """Seed-0 k-fold val index sets (run_cross_val.m:55,97-109)."""
+    """Seed-0 k-fold val index sets (run_cross_val.m:55,97-109).
+
+    Fold STRUCTURE matches the reference: one random permutation cut
+    into contiguous chunks at ``round(linspace(0, n, k+1))`` boundaries
+    (so fold sizes follow the same rounding pattern), not an interleaved
+    split. The permutation itself cannot be bit-matched across RNGs
+    (SURVEY.md section 7, RNG-pinned artifacts).
+    """
     rng = np.random.RandomState(seed)
     perm = rng.permutation(n)
-    return [perm[i::num_folds] for i in range(num_folds)]
+    splits = np.round(np.linspace(0, n, num_folds + 1)).astype(int)
+    return [perm[splits[i]:splits[i + 1]] for i in range(num_folds)]
 
 
 @dataclasses.dataclass

@@ -176,26 +176,25 @@ int64_t ReadWavSegment(const char* path, int64_t start, int64_t n,
     int64_t got = fread(raw.data(), 1, raw.size(), f) / frame_bytes;
     const int c = h.channels;
     for (int64_t i = 0; i < got; ++i) {
-      float acc = 0.0f;
-      for (int ch = 0; ch < c; ++ch) {
-        const unsigned char* p = raw.data() + (i * c + ch) * (h.bits / 8);
-        float v = 0.0f;
-        if (h.format == 3 && h.bits == 32) {
-          memcpy(&v, p, 4);
-        } else if (h.bits == 16) {
-          int16_t s;
-          memcpy(&s, p, 2);
-          v = s / 32768.0f;
-        } else if (h.bits == 32) {
-          int32_t s;
-          memcpy(&s, p, 4);
-          v = s / 2147483648.0f;
-        } else if (h.bits == 8) {
-          v = (p[0] - 128) / 128.0f;
-        }
-        acc += v;
+      // LEFT channel only for multi-channel files, matching the
+      // reference (compute_audio_feats.m:176 `z = z(:,1)`) and the
+      // python reader (data/audio.py read_wav)
+      const unsigned char* p = raw.data() + (i * c) * (h.bits / 8);
+      float v = 0.0f;
+      if (h.format == 3 && h.bits == 32) {
+        memcpy(&v, p, 4);
+      } else if (h.bits == 16) {
+        int16_t s;
+        memcpy(&s, p, 2);
+        v = s / 32768.0f;
+      } else if (h.bits == 32) {
+        int32_t s;
+        memcpy(&s, p, 4);
+        v = s / 2147483648.0f;
+      } else if (h.bits == 8) {
+        v = (p[0] - 128) / 128.0f;
       }
-      out[i] = acc / c;
+      out[i] = v;
     }
     to_read = got;
   }
@@ -302,9 +301,15 @@ bool DecodeJpegFace(const char* path, int out_size, double crop_ratio,
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
 
-  // center-crop to crop_ratio (1/1.6, fetch_emovoxceleb_imdb.m:169)
-  const int cw = std::max(1, static_cast<int>(std::lround(w * crop_ratio)));
-  const int ch = std::max(1, static_cast<int>(std::lround(h * crop_ratio)));
+  // center-crop: vl_imreadjpeg's CropSize is a fraction of the largest
+  // OUTPUT-aspect crop contained in the image — square output, so a
+  // centered square of side crop_ratio * min(w, h)
+  // (1/1.6 for the EmoVoxCeleb build, fetch_emovoxceleb_imdb.m:169;
+  // 1.0 for external faces, compute_visual_feats.m:123-143)
+  const int side = std::max(
+      1, static_cast<int>(std::lround(crop_ratio * std::min(w, h))));
+  const int cw = side;
+  const int ch = side;
   const int left = (w - cw) / 2;
   const int top = (h - ch) / 2;
 

@@ -123,3 +123,35 @@ def test_mnrfit_matches_sklearn_golden():
     params = mnrfit(fx["X"], fx["y"], num_classes=3)
     probs = mnrval(params, fx["Xtest"])
     np.testing.assert_allclose(probs, fx["probs"], atol=2e-4)
+
+
+def test_kfold_splits_linspace_chunks():
+    """Fold structure matches run_cross_val.m:97-109: one permutation
+    cut at round(linspace(0, n, k+1)) boundaries — a partition of 0..n-1
+    with the reference's chunk sizes."""
+    import numpy as np
+
+    from mcncrossmodalemotions_tpu.exp.run_cross_val import kfold_splits
+
+    n, k = 103, 10
+    folds = kfold_splits(n, k, seed=0)
+    assert len(folds) == k
+    allidx = np.concatenate(folds)
+    assert sorted(allidx) == list(range(n))  # exact partition
+    bounds = np.round(np.linspace(0, n, k + 1)).astype(int)
+    assert [len(f) for f in folds] == list(np.diff(bounds))
+    # deterministic under the pinned seed (rng(0), run_cross_val.m:55)
+    again = kfold_splits(n, k, seed=0)
+    assert all((a == b).all() for a, b in zip(folds, again))
+
+
+def test_aggregate_track_mean1_alias():
+    """'mean1' is the reference's spelling of the mean aggregator
+    (run_cross_val.m:126)."""
+    import numpy as np
+
+    from mcncrossmodalemotions_tpu.exp.run_cross_val import aggregate_track
+
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_array_equal(aggregate_track(x, "mean1"),
+                                  aggregate_track(x, "mean"))

@@ -61,6 +61,72 @@ def test_native_jpeg_decode_matches_pil(tmp_path):
     assert diff.max() <= 1, f"max abs diff {diff.max()}"
 
 
+def test_face_crop_is_output_aspect_square(tmp_path):
+    """vl_imreadjpeg CropSize semantics: the crop is the largest
+    OUTPUT-aspect (square) region scaled by the ratio — side
+    crop_ratio*min(h, w), centered — NOT an anisotropic (w*r, h*r) box
+    (fetch_emovoxceleb_imdb.m:169; compute_visual_feats.m:123-143 uses
+    the default ratio 1.0)."""
+    from PIL import Image
+
+    # gradient image: column index in the red channel scaled to 0..255
+    w, h = 120, 80
+    col = np.tile(np.arange(w, dtype=np.float64)[None, :], (h, 1))
+    rgb = np.stack([col * 255 / (w - 1)] * 3, axis=-1).astype(np.uint8)
+    src = tmp_path / "grad.png"  # png: lossless, exact column values
+    Image.fromarray(rgb).save(src)
+    out = load_face_frame(src, out_size=40, crop_ratio=1.0)
+    # ratio 1.0 on a 120x80 image crops the centered 80x80 square:
+    # columns 20..99 -> gray values span that range, not the full width
+    lo, hi = 20 * 255 / (w - 1), 99 * 255 / (w - 1)
+    assert abs(float(out[0, 0, 0]) - lo) <= 2
+    assert abs(float(out[0, -1, 0]) - hi) <= 2
+    # and the 1/1.6 ratio crops side round(80/1.6) = 50: columns 35..84
+    out2 = load_face_frame(src, out_size=40, crop_ratio=1 / 1.6)
+    lo2, hi2 = 35 * 255 / (w - 1), 84 * 255 / (w - 1)
+    assert abs(float(out2[0, 0, 0]) - lo2) <= 2
+    assert abs(float(out2[0, -1, 0]) - hi2) <= 2
+
+
+@needs_native
+def test_native_jpeg_decode_matches_pil_nonsquare(tmp_path):
+    """Python and C++ paths agree on NON-square sources for both the
+    EmoVoxCeleb (1/1.6) and external (1.0) crop ratios."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(80, 120, 3) * 255).astype(np.uint8)
+    path = tmp_path / "ns.jpg"
+    Image.fromarray(img).save(path, quality=95)
+    for ratio in (1 / 1.6, 1.0):
+        ref = load_face_frame(path, out_size=48, crop_ratio=ratio)
+        got = native.decode_faces([str(path)], out_size=48,
+                                  crop_ratio=ratio, num_threads=2)[0]
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, f"ratio {ratio}: max abs diff {diff.max()}"
+
+
+def test_visual_extractor_crop_defaults():
+    """External feature extraction uses CropSize 1.0 (the reference
+    passes no CropSize for external faces); the EmoVoxCeleb dense build
+    pins 1/1.6. Defaults checked so a refactor can't silently swap
+    them."""
+    import inspect
+
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+        compute_visual_feats,
+    )
+
+    assert VisualFeatureExtractor.__dataclass_fields__[
+        "crop_ratio"].default == 1.0
+    assert (inspect.signature(compute_visual_feats)
+            .parameters["crop_ratio"].default == 1.0)
+    import mcncrossmodalemotions_tpu.exp.fetch_emovoxceleb_imdb as fei
+
+    assert "crop_ratio=1.0 / 1.6" in inspect.getsource(fei)
+
+
 @needs_native
 def test_native_missing_file_errors(tmp_path):
     with pytest.raises(IOError):
@@ -277,3 +343,40 @@ def test_python_corrupt_wav_fails_cleanly(tmp_path):
     # the reader under test may satisfy the expectation
     with pytest.raises((ValueError, IOError, EOFError)):
         py_read_wav(bad, 0, 100)
+
+
+def _write_stereo_wav(path, left, right, rate=16000):
+    import struct
+
+    import numpy as np
+
+    frames = np.stack([left, right], axis=1)
+    pcm = np.clip(np.round(frames * 32768.0), -32768, 32767).astype("<i2")
+    payload = pcm.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 2, rate, rate * 4, 4, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+
+
+def test_stereo_reads_take_left_channel(tmp_path):
+    """Stereo wavs must yield the LEFT stream, matching the reference
+    (compute_audio_feats.m:176 ``z = z(:,1)``) — in BOTH readers."""
+    rng = np.random.RandomState(7)
+    left = (rng.rand(4000).astype(np.float32) - 0.5) * 0.9
+    right = (rng.rand(4000).astype(np.float32) - 0.5) * 0.9
+    path = tmp_path / "stereo.wav"
+    _write_stereo_wav(path, left, right)
+    got, fs = py_read_wav(path, 100, 2000)
+    assert fs == 16000
+    # quantisation only — not a (L+R)/2 downmix
+    np.testing.assert_allclose(got, left[100:2100], atol=1.0 / 32768)
+    if native.available():
+        n, rate, channels, bits = native.wav_info(str(path))
+        assert channels == 2 and n == 4000
+        nat = native.read_crops([str(path)], [100], 2000)[0]
+        np.testing.assert_allclose(nat, got, atol=1e-7)
