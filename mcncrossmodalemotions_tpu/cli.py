@@ -314,7 +314,7 @@ def cmd_sample_audio(argv):
     """sample_audio.m equivalent: qualitative per-emotion sample packs.
 
     Usage: sample-audio imdb=<src> out=<dir> [per_emotion=20] [seed=0]
-           [frame_seq=true] [overwrite=true]
+           [sample_peaks=false] [frame_seq=true] [overwrite=true]
     """
     from mcncrossmodalemotions_tpu.exp.sample_audio import sample_audio
 
@@ -324,6 +324,7 @@ def cmd_sample_audio(argv):
         imdb, opts.get("out", "emovoxceleb-samples"),
         per_emotion=int(opts.get("per_emotion", 20)),
         seed=int(opts.get("seed", 0)),
+        sample_peaks=_to_bool(opts.get("sample_peaks", "true")),
         sample_frame_seq=_to_bool(opts.get("frame_seq", "false")),
         overwrite=_to_bool(opts.get("overwrite", "false")))
     for emotion, picks in sampled.items():

@@ -27,10 +27,13 @@ def sample_audio(imdb: EmoVoxImdb, out_dir: str | Path,
                  emotions: Optional[Sequence[str]] = None,
                  copy_wavs: bool = True,
                  make_figures: bool = True,
+                 sample_peaks: bool = True,
                  sample_frame_seq: bool = False,
                  overwrite: bool = False) -> dict:
     """Returns {emotion: [track indices sampled]}; writes sample packs.
 
+    ``sample_peaks`` copies each sample's approximate peak frame (the
+    reference's opts.samplePeaks default, sample_audio.m:36);
     ``sample_frame_seq`` additionally copies each sample's FULL sorted
     frame sequence as ``<stem>-frames/00001.jpg ...`` (the reference's
     opts.sampleFrameSeq, sample_audio.m:180-198).
@@ -76,7 +79,7 @@ def sample_audio(imdb: EmoVoxImdb, out_dir: str | Path,
                 if len(track_frames):
                     fsrc = Path(imdb.frame_dir) / track_frames[
                         min(peak_frame, len(track_frames) - 1)]
-                    if fsrc.exists():
+                    if sample_peaks and fsrc.exists():
                         shutil.copy(fsrc, emo_dir / (stem + "-peak.jpg"))
                     if sample_frame_seq:
                         # full sequence copy (sample_audio.m:180-198)
