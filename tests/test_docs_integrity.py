@@ -44,7 +44,8 @@ def _resolve_symbol(token):
     return hasattr(mod, attr)
 
 
-@pytest.mark.parametrize("doc", ["PARITY.md", "README.md"])
+@pytest.mark.parametrize("doc", ["PARITY.md", "README.md",
+                                 "docs/SCALING.md"])
 def test_doc_citations_resolve(doc):
     missing = []
     for token in _doc_tokens(doc):
