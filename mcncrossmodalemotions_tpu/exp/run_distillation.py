@@ -236,6 +236,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
     tcfg = TrainConfig(
         num_epochs=cfg.num_epochs,
         batch_size=cfg.batch_size,
+        epoch_size=epoch_size,  # engine cap; the batcher also subsamples
         learning_rate=logspace_lr(cfg.lr_start_exp, cfg.lr_stop_exp,
                                   cfg.num_epochs),
         weight_decay=cfg.weight_decay,
@@ -297,7 +298,12 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
     trainer = Trainer(model, loss_fn, tcfg,
                       class_names=EMOTIONS[: cfg.num_pred_emotions],
                       mesh=mesh,
-                      rng_names=("dropout",) if cfg.dropout > 0 else (),
+                      # with an override the rng streams are baked into
+                      # the step by make_online_distill_step; Trainer
+                      # rejects redundant knobs alongside an override
+                      rng_names=(("dropout",)
+                                 if cfg.dropout > 0 and step_override is None
+                                 else ()),
                       train_step_override=step_override)
 
     # Run-metadata dump (storeMetaInfo, run_distillation.m:227-240)

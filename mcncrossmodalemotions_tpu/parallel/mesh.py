@@ -103,16 +103,24 @@ def pad_to_multiple(batch: Dict[str, np.ndarray], multiple: int,
     """Pad the batch dim to a device-count multiple; returns (batch, n_valid).
 
     Static shapes are mandatory under jit; ragged final batches are padded
-    and the valid count carried for correct metric weighting.
+    and the valid count carried for correct metric weighting. A
+    caller-supplied ``pad_mask`` is padded with ZEROS (never by
+    duplicating the last row's 1.0): padding rows must stay excluded
+    from losses/metrics, and ``n_valid`` counts the mask's valid rows.
     """
     n = batch[pad_key].shape[0]
+    mask = batch.get("pad_mask")
+    n_valid = int(np.sum(mask)) if mask is not None else n
     remainder = n % multiple
     if remainder == 0:
-        return batch, n
+        return batch, n_valid
     pad = multiple - remainder
     padded = {
         k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
         if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n else v
         for k, v in batch.items()
     }
-    return padded, n
+    if mask is not None:
+        padded["pad_mask"] = np.concatenate(
+            [np.asarray(mask, np.float32), np.zeros(pad, np.float32)])
+    return padded, n_valid

@@ -22,6 +22,15 @@ import jax
 _CKPT_RE = re.compile(r"net-epoch-(\d+)(\.msgpack)?$")
 
 
+class CorruptCheckpointError(Exception):
+    """The checkpoint's BYTES are unreadable (truncated write, disk
+    corruption) — the recoverable case ``load_latest`` falls back from.
+    Structural mismatches (restored tree does not fit the target — a
+    changed model config) are NOT this error and propagate loudly:
+    silently restarting a changed-architecture run from epoch 1 would
+    clobber the old experiment."""
+
+
 def checkpoint_path(exp_dir: str | Path, epoch: int,
                     backend: str = "msgpack") -> Path:
     suffix = ".msgpack" if backend == "msgpack" else ""
@@ -43,7 +52,9 @@ def save_checkpoint(exp_dir: str | Path, epoch: int, state: Any,
     path = checkpoint_path(exp_dir, epoch, backend)
     if backend == "msgpack":
         blob = flax.serialization.to_bytes(jax.device_get(state))
-        tmp = path.with_suffix(".tmp")
+        # pid-suffixed tmp (zoo/artifacts.py convention): two processes
+        # saving the same epoch must not interleave through one tmp file
+        tmp = path.with_suffix(f".tmp.{os.getpid()}")
         tmp.write_bytes(blob)
         os.replace(tmp, path)  # atomic on POSIX
     elif backend == "orbax":
@@ -78,31 +89,44 @@ def load_checkpoint(path: Path, target: Any) -> Any:
     """Restore a state pytree from ``path`` into the structure of ``target``.
 
     Backend is inferred: a file is flax msgpack, a directory is Orbax.
+    Unreadable bytes raise :class:`CorruptCheckpointError`; a readable
+    checkpoint that does not FIT ``target`` raises the underlying
+    structure error (see CorruptCheckpointError docstring).
     """
+    import flax.serialization as ser
+
     path = Path(path)
     if path.is_dir():
         import orbax.checkpoint as ocp
 
-        with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(path.resolve())
-        import flax.serialization as ser
-
+        try:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(path.resolve())
+        except Exception as exc:
+            raise CorruptCheckpointError(f"{path}: {exc}") from exc
         return ser.from_state_dict(target, restored)
-    return flax.serialization.from_bytes(target, path.read_bytes())
+    try:
+        state_dict = ser.msgpack_restore(path.read_bytes())
+    except Exception as exc:  # truncated/garbled bytes
+        raise CorruptCheckpointError(f"{path}: {exc}") from exc
+    return ser.from_state_dict(target, state_dict)
 
 
 def load_latest(exp_dir: str | Path, target: Any) -> Tuple[int, Any]:
-    """Resume from the newest readable checkpoint (last-good fallback).
+    """Resume from the newest READABLE checkpoint (last-good fallback).
 
     Returns (epoch, state); (0, target) if none exists. A corrupt latest
     checkpoint falls back to the previous one instead of crashing — the
     failure mode the reference worked around with cnn_train_dag_check2
-    (run_distillation.m:169).
+    (run_distillation.m:169). Only byte-level corruption falls back;
+    a structural mismatch (changed model config vs on-disk run) raises,
+    so a misconfigured resume cannot silently restart from epoch 1 and
+    clobber the experiment.
     """
     for epoch, path in reversed(list_checkpoints(exp_dir)):
         try:
             return epoch, load_checkpoint(path, target)
-        except Exception as exc:  # corrupted checkpoint: try older
+        except CorruptCheckpointError as exc:  # corrupted: try older
             print(f"warning: checkpoint {path} unreadable ({exc}); falling back")
     return 0, target
 

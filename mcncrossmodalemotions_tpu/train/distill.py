@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from mcncrossmodalemotions_tpu.train.state import (
     SGDConfig,
     TrainState,
-    apply_sgd_update,
+    make_train_step,
 )
 from mcncrossmodalemotions_tpu.zoo.registry import student_loss_fn
 
@@ -56,6 +56,13 @@ def make_online_distill_step(student_apply: Callable,
     """
     loss_fn = student_loss_fn(loss_type, temperature=temperature,
                               num_classes=num_classes)
+    # ONE step body: the rng/value_and_grad/SGD/state plumbing lives in
+    # make_train_step; this wrapper only computes the in-graph teacher
+    # targets and assembles the inner batch, so fixes to the standard
+    # step cannot diverge from the fused step.
+    inner_step = make_train_step(student_apply, loss_fn, sgd,
+                                 has_batch_stats=True,
+                                 rng_names=tuple(rng_names))
 
     def step(state: TrainState, batch: Dict[str, jax.Array], lr):
         frames = batch["frames"]
@@ -74,31 +81,6 @@ def make_online_distill_step(student_apply: Callable,
         }
         if "pad_mask" in batch:  # exclude mesh-padding rows exactly
             inner_batch["pad_mask"] = batch["pad_mask"]
-
-        rng, step_rng = jax.random.split(state.rng)
-        apply_kwargs = {}
-        if rng_names:
-            keys = jax.random.split(step_rng, len(rng_names))
-            apply_kwargs["rngs"] = dict(zip(rng_names, keys))
-
-        def compute(params):
-            outputs, new_model_state = student_apply(
-                {"params": params, **state.model_state},
-                inner_batch["data"], train=True, mutable=["batch_stats"],
-                **apply_kwargs,
-            )
-            loss, metrics = loss_fn(outputs, inner_batch)
-            return loss, (metrics, new_model_state)
-
-        (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
-            compute, has_aux=True
-        )(state.params)
-
-        params, velocity = apply_sgd_update(state, grads, lr, sgd)
-        metrics = dict(metrics, loss=loss)
-        return state.replace(
-            params=params, model_state=new_model_state, velocity=velocity,
-            step=state.step + 1, rng=rng,
-        ), metrics
+        return inner_step(state, inner_batch, lr)
 
     return step

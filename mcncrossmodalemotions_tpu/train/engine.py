@@ -45,7 +45,11 @@ class TrainConfig:
     learning_rate: Sequence[float] | float = 1e-4
     momentum: float = 0.9
     weight_decay: float = 5e-4
-    epoch_size: Optional[int] = None  # samples per "mini-epoch"; None = all
+    # samples per "mini-epoch" (None = all): the engine caps each train
+    # pass at ceil(epoch_size/batch_size) batches — a random subset,
+    # since batchers shuffle per epoch. Data-layer subsampling
+    # (EmoVoxBatcher(epoch_size=...)) composes; the smaller one binds.
+    epoch_size: Optional[int] = None
     seed: int = 0
     exp_dir: str = "exp"
     resume: bool = True  # the reference's 'continue' option
@@ -139,7 +143,16 @@ class Trainer:
         sgd = SGDConfig(momentum=cfg.momentum, weight_decay=cfg.weight_decay)
         has_bs = True
         if train_step_override is not None:
-            # e.g. the fused online-distillation step (train/distill.py)
+            # e.g. the fused online-distillation step (train/distill.py).
+            # The override IS the whole step: rng_names / lr_scale_fn /
+            # cfg.momentum+weight_decay must be baked into it by its
+            # builder — accepting them here and silently ignoring them
+            # would train a different model than configured.
+            if rng_names or lr_scale_fn is not None:
+                raise ValueError(
+                    "train_step_override replaces the built step entirely; "
+                    "pass rng_names/lr_scale_fn to the override's builder "
+                    "(e.g. make_online_distill_step), not to Trainer")
             self._train_step = train_step_override
         else:
             self._train_step = make_train_step(model.apply, loss_fn, sgd,
@@ -187,10 +200,13 @@ class Trainer:
         <= num_devices-1 duplicated rows on one batch per epoch.)
         """
         bsz = int(np.shape(batch["data"])[0])
-        n_valid = bsz
+        n_valid = (int(np.sum(batch["pad_mask"])) if "pad_mask" in batch
+                   else bsz)
         if self._num_devices > 1 and bsz % self._num_devices != 0:
             # Ragged final batch under a mesh: pad by repeating the last
-            # row so the batch dim shards evenly.
+            # row so the batch dim shards evenly (a caller-supplied
+            # pad_mask is zero-extended by pad_to_multiple, never
+            # duplicated).
             from mcncrossmodalemotions_tpu.parallel.mesh import pad_to_multiple
 
             batch, n_valid = pad_to_multiple(batch, self._num_devices)
@@ -199,9 +215,14 @@ class Trainer:
             mask = np.zeros(bsz, np.float32)
             mask[:n_valid] = 1.0
             batch = dict(batch, pad_mask=mask)
-        return n_valid, self._shard_batch(
-            {k: jnp.asarray(v) for k, v in batch.items()}
-        )
+        if self._num_devices > 1:
+            # One direct sharded transfer per batch: device_put with the
+            # batch sharding copies each shard straight to its device.
+            # Routing through jnp.asarray first would land the whole
+            # batch on device 0 and pay a second device->device reshard
+            # — double feed latency on slow host links.
+            return n_valid, self._shard_batch(batch)
+        return n_valid, {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _prefetched(self, batches):
         """Two-stage pipeline over the host iterator.
@@ -308,44 +329,60 @@ class Trainer:
         # "feed-bound or compute-bound?" a logged fact per epoch instead
         # of a profiling session.
         feed_wait = 0.0
+        # epochSize as an engine-level cap: a shuffled epoch's first
+        # ceil(epoch_size/batch) batches ARE a random subset, matching
+        # cnn_train_dag's per-epoch subsampling (run_distillation.m:154)
+        # when the batcher doesn't subsample itself. Data-layer
+        # subsampling (EmoVoxBatcher epoch_size) composes: whichever
+        # yields fewer batches binds.
+        max_batches = None
+        if train and self.cfg.epoch_size:
+            max_batches = -(-self.cfg.epoch_size // self.cfg.batch_size)
         feed_iter = iter(self._prefetched(batches))
-        while True:
-            t_wait = time.monotonic()
-            try:
-                bsz, device_batch = next(feed_iter)
-            except StopIteration:
+        try:
+            while max_batches is None or n_batches < max_batches:
+                t_wait = time.monotonic()
+                try:
+                    bsz, device_batch = next(feed_iter)
+                except StopIteration:
+                    feed_wait += time.monotonic() - t_wait
+                    break
                 feed_wait += time.monotonic() - t_wait
-                break
-            feed_wait += time.monotonic() - t_wait
-            if train:
-                state, metrics = self._train_step(state, device_batch, lr)
-            else:
-                metrics = self._eval_step(state, device_batch)
-            avg.update(metrics, bsz)
-            n_batches += 1
-            if n_batches % self.cfg.log_every == 0:
-                # This print syncs (device_get) — log_every trades
-                # observability against the tunnel round-trip cost.
-                loss_val = float(np.asarray(jax.device_get(metrics["loss"])))
-                elapsed = time.monotonic() - t0
-                hz = avg.count / max(elapsed, 1e-9)
-                mode = "train" if train else "val"
-                print(
-                    f"epoch {epoch} [{mode}] batch {n_batches}: "
-                    f"loss={loss_val:.4f} ({hz:.1f} samples/s)",
-                    flush=True,
-                )
-                if self.cfg.nan_check and not np.isfinite(loss_val):
-                    if profiling:
-                        jax.profiler.stop_trace()
-                    raise FloatingPointError(
-                        f"non-finite loss at epoch {epoch} batch {n_batches} "
-                        f"(train={train}, lr={lr}) — the reference's NaN "
-                        "tripwire (getBatchEmoVoxCeleb.m:189-192), upgraded "
-                        "from a debugger drop to a hard error"
+                if train:
+                    state, metrics = self._train_step(state, device_batch, lr)
+                else:
+                    metrics = self._eval_step(state, device_batch)
+                avg.update(metrics, bsz)
+                n_batches += 1
+                if n_batches % self.cfg.log_every == 0:
+                    # This print syncs (device_get) — log_every trades
+                    # observability against the tunnel round-trip cost.
+                    loss_val = float(np.asarray(jax.device_get(metrics["loss"])))
+                    elapsed = time.monotonic() - t0
+                    hz = avg.count / max(elapsed, 1e-9)
+                    mode = "train" if train else "val"
+                    print(
+                        f"epoch {epoch} [{mode}] batch {n_batches}: "
+                        f"loss={loss_val:.4f} ({hz:.1f} samples/s)",
+                        flush=True,
                     )
-        if profiling:
-            jax.profiler.stop_trace()
+                    if self.cfg.nan_check and not np.isfinite(loss_val):
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {epoch} batch {n_batches} "
+                            f"(train={train}, lr={lr}) — the reference's NaN "
+                            "tripwire (getBatchEmoVoxCeleb.m:189-192), upgraded "
+                            "from a debugger drop to a hard error"
+                        )
+        finally:
+            # stop_trace in a finally: an exception mid-epoch (NaN
+            # tripwire, OOM, interrupt) must not leak an open trace —
+            # a later start_trace in the same process would fail with
+            # "Only one profile may be run at a time".
+            if profiling:
+                jax.profiler.stop_trace()
+            # deterministically end the producer thread when the cap (or
+            # an exception) exits before the iterator is exhausted
+            feed_iter.close()
         if train and n_batches == 0:
             # Silent empty epochs produce a history with no loss at all
             # and "trained" checkpoints that never saw a batch — fail
@@ -392,7 +429,13 @@ class Trainer:
         if cfg.resume:
             last, state = ckpt_lib.load_latest(cfg.exp_dir, state)
             start_epoch = last + 1
-        logger = MetricsLogger(Path(cfg.exp_dir) / "metrics.jsonl")
+        # Multi-host: every process runs the identical loop on its batch
+        # shard, but only process 0 may write the (replicated) checkpoint
+        # and metrics — concurrent writers through the same tmp path on
+        # shared storage interleave and publish a corrupted blend.
+        is_writer = jax.process_index() == 0
+        logger = (MetricsLogger(Path(cfg.exp_dir) / "metrics.jsonl")
+                  if is_writer else None)
         history = []
         for epoch in range(start_epoch, cfg.num_epochs + 1):
             state, train_stats = self.run_epoch(
@@ -405,9 +448,11 @@ class Trainer:
                     state, val_batches_fn(epoch), epoch, train=False
                 )
                 record["val"] = val_stats
-            logger.log(record)
+            if logger is not None:
+                logger.log(record)
             history.append(record)
-            if epoch % cfg.checkpoint_every == 0 or epoch == cfg.num_epochs:
+            if (epoch % cfg.checkpoint_every == 0 or epoch == cfg.num_epochs) \
+                    and is_writer:
                 ckpt_lib.save_checkpoint(cfg.exp_dir, epoch, state, record,
                                          backend=cfg.checkpoint_backend)
             print(

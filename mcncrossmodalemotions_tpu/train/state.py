@@ -128,13 +128,17 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
 
         def compute(params):
             if has_batch_stats:
-                outputs, new_model_state = apply_fn(
+                outputs, mutated = apply_fn(
                     {"params": params, **state.model_state},
                     batch["data"],
                     train=True,
                     mutable=["batch_stats"],
                     **apply_kwargs,
                 )
+                # merge, don't replace: apply() returns ONLY the mutable
+                # collections, so a wholesale replace would silently drop
+                # any other collection the model carries after one step
+                new_model_state = {**state.model_state, **mutated}
             else:
                 outputs = apply_fn({"params": params}, batch["data"], train=True,
                                    **apply_kwargs)

@@ -536,6 +536,17 @@ def import_classic_teacher(mat_path: str | Path, model) -> dict:
     # never be silently re-imported with identity BN over trained stats.
     release_has_bn = any("_bn" in name or name.startswith("bn")
                          for name in params)
+    if release_has_bn and not model.use_batchnorm:
+        # the opposite of the retrofit below: dropping a release's
+        # TRAINED normalization would import convs whose activations are
+        # wrong at every layer — a silently-garbage model. Fail loudly;
+        # the caller should build the model with use_batchnorm=True
+        # (ferPlusZoo.m reads the structure from the dag itself).
+        raise ValueError(
+            f"{mat_path}: release carries BatchNorm params but the model "
+            "was built with use_batchnorm=False — import would silently "
+            "discard the trained normalization; build with "
+            "use_batchnorm=True")
     layer_map = vggface_layer_map(
         model.arch,
         use_batchnorm=model.use_batchnorm and release_has_bn)

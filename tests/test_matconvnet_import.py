@@ -714,3 +714,30 @@ def test_mat_cache_scope_reentrant(tmp_path, tiny_student_vars):
 
     load_pretrained_student(mat_path, with_frontend=False)
     assert not mcn._CLASSIC_CACHE
+
+
+def test_bn_release_into_bnless_model_fails_loudly(tmp_path):
+    """A BN-carrying release imported into use_batchnorm=False must
+    raise, not silently drop the trained normalization (the activations
+    would be wrong at every layer with no error)."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.models.vggface import VGGFace
+    from mcncrossmodalemotions_tpu.zoo.matconvnet import (
+        import_classic_teacher,
+        vggface_layer_map,
+    )
+
+    rng = np.random.RandomState(4)
+    bn_model = VGGFace(arch="m", width_multiplier=1 / 16, fc_features=32,
+                       num_outputs=8, use_batchnorm=True)
+    x = jnp.zeros((1, 96, 96, 3))
+    variables = jax.device_get(bn_model.init(jax.random.PRNGKey(1), x))
+    lmap = vggface_layer_map("m", use_batchnorm=True)
+    mat_path = tmp_path / "vgg-m-face-bn.mat"
+    _save_dagnn_mat(mat_path, _export_via_map(variables, lmap))
+
+    bnless = VGGFace(arch="m", width_multiplier=1 / 16, fc_features=32,
+                     num_outputs=8, use_batchnorm=False)
+    with pytest.raises(ValueError, match="use_batchnorm"):
+        import_classic_teacher(mat_path, bnless)

@@ -495,3 +495,56 @@ def test_multihost_two_process_training(tmp_path):
         float(jnp.sum(jnp.square(x)))
         for x in jax.tree.leaves(jax.device_get(state.params)))))
     np.testing.assert_allclose(l2, fp0["param_l2"], rtol=1e-5)
+
+
+def test_caller_supplied_pad_mask_survives_mesh_padding():
+    """A batcher that already emits pad_mask (the multihost feed path)
+    plus a ragged batch under the mesh: padding rows must get mask 0,
+    not a duplicate of the last row's 1.0, and epoch metrics must equal
+    the single-device run over the same valid samples."""
+    import flax.linen as nn
+
+    from mcncrossmodalemotions_tpu.losses import softmax_ce
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(3)(x)
+
+    def loss_fn(logits, batch):
+        from mcncrossmodalemotions_tpu.losses import class_error
+        return (softmax_ce(logits, batch["label"], batch.get("pad_mask")),
+                {"classerror": class_error(logits, batch["label"],
+                                           batch.get("pad_mask"))})
+
+    rng = np.random.RandomState(3)
+    data21 = rng.randn(21, 4).astype(np.float32)
+    labels21 = rng.randint(0, 3, 21)
+
+    def batches_with_mask(epoch):
+        yield {"data": data21, "label": labels21,
+               "pad_mask": np.ones(21, np.float32)}   # 21 % 8 != 0
+
+    def batches_plain(epoch):
+        yield {"data": data21, "label": labels21}
+
+    stats = {}
+    for name, mesh, fn in (("mesh_masked", make_mesh(), batches_with_mask),
+                           ("mesh_plain", make_mesh(), batches_plain),
+                           ("single", None, batches_plain)):
+        trainer = Trainer(
+            Net(), loss_fn,
+            TrainConfig(num_epochs=1, learning_rate=0.1, weight_decay=0.0,
+                        log_every=1000, resume=False,
+                        exp_dir=f"/tmp/padmask_{name}"),
+            mesh=mesh)
+        state = trainer.init_state({"data": data21[:2]})
+        _, s = trainer.run_epoch(state, fn(1), epoch=1, train=False)
+        stats[name] = s
+    for key in ("loss", "classerror"):
+        np.testing.assert_allclose(stats["mesh_masked"][key],
+                                   stats["single"][key], atol=1e-6)
+        np.testing.assert_allclose(stats["mesh_plain"][key],
+                                   stats["single"][key], atol=1e-6)
+    assert stats["mesh_masked"]["num_samples"] == 21

@@ -271,3 +271,99 @@ def test_zero_train_batches_fails_loudly(tmp_path):
                              out_root=str(tmp_path / "exps"))
     with pytest.raises(ValueError, match="ZERO batches"):
         run_distillation(cfg, imdb=imdb)
+
+
+def test_epoch_size_caps_train_batches(tmp_path):
+    """TrainConfig.epoch_size limits each train pass to
+    ceil(epoch_size/batch_size) batches (cnn_train_dag's epochSize,
+    run_distillation.m:154) even when the batcher yields more."""
+    data, labels = _make_data(n=96)
+    cfg = TrainConfig(num_epochs=1, batch_size=32, learning_rate=0.05,
+                      epoch_size=40, exp_dir=str(tmp_path / "exp"),
+                      log_every=1000)
+    trainer = Trainer(TinyNet(), _loss_fn, cfg)
+    fn = _batches(data, labels)
+    state, history = trainer.fit(
+        fn, example_batch={"data": data[:32], "label": labels[:32]})
+    # ceil(40/32) = 2 of the 3 available batches -> 64 samples seen
+    assert history[0]["train"]["num_samples"] == 64
+    # val passes are NOT capped
+    cfg2 = TrainConfig(num_epochs=1, batch_size=32, learning_rate=0.05,
+                       epoch_size=40, exp_dir=str(tmp_path / "exp2"),
+                       log_every=1000)
+    trainer2 = Trainer(TinyNet(), _loss_fn, cfg2)
+    _, h2 = trainer2.fit(
+        fn, val_batches_fn=fn,
+        example_batch={"data": data[:32], "label": labels[:32]})
+    assert h2[0]["val"]["num_samples"] == 96
+
+
+def test_trainer_rejects_knobs_alongside_override(tmp_path):
+    """rng_names/lr_scale_fn must be baked into a train_step_override by
+    its builder; Trainer fails loudly instead of silently ignoring."""
+    with pytest.raises(ValueError, match="override"):
+        Trainer(TinyNet(), _loss_fn, TrainConfig(exp_dir=str(tmp_path)),
+                rng_names=("dropout",),
+                train_step_override=lambda s, b, lr: (s, {}))
+
+
+def test_structural_mismatch_raises_not_restarts(tmp_path):
+    """Resuming with a CHANGED architecture must raise, not silently
+    fall back to epoch 0 and clobber the experiment; byte corruption
+    still falls back (run_distillation.m:169 known weakness)."""
+    from mcncrossmodalemotions_tpu.train.checkpoints import (
+        CorruptCheckpointError,
+        load_checkpoint,
+        load_latest,
+        save_checkpoint,
+    )
+
+    state = {"w": np.arange(4.0, dtype=np.float32)}
+    path = save_checkpoint(tmp_path, 1, state)
+    # structural mismatch: different tree
+    other = {"w": np.zeros(4, np.float32), "extra": np.zeros(2, np.float32)}
+    with pytest.raises(Exception) as ei:
+        load_checkpoint(path, other)
+    assert not isinstance(ei.value, CorruptCheckpointError)
+    with pytest.raises(Exception):
+        load_latest(tmp_path, other)  # does NOT silently return (0, other)
+    # byte corruption: load_latest falls back to the previous epoch
+    good = save_checkpoint(tmp_path, 2, {"w": np.ones(4, np.float32) * 7})
+    path3 = save_checkpoint(tmp_path, 3, state)
+    path3.write_bytes(b"garbage not msgpack")
+    epoch, restored = load_latest(tmp_path, state)
+    assert epoch == 2
+    np.testing.assert_array_equal(restored["w"], np.ones(4) * 7)
+
+
+def test_model_state_extra_collections_survive_steps():
+    """apply() returns only the MUTABLE collections; the step must merge
+    them into model_state, not replace it (a model carrying a constants
+    collection would otherwise lose it after one step)."""
+    from mcncrossmodalemotions_tpu.train.state import (
+        SGDConfig,
+        TrainState,
+        make_train_step,
+    )
+
+    class ConstNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            c = self.variable("constants", "offset",
+                              lambda: jnp.ones((), jnp.float32))
+            h = nn.Dense(4)(x) + c.value
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            return nn.Dense(3)(h)
+
+    net = ConstNet()
+    x = jnp.ones((8, 2), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    assert "constants" in variables
+    state = TrainState.create(variables, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(net.apply, _loss_fn, SGDConfig()))
+    batch = {"data": np.ones((8, 2), np.float32),
+             "label": np.zeros(8, np.int64)}
+    for _ in range(2):  # second step fails if 'constants' was dropped
+        state, _ = step(state, batch, 0.01)
+    assert "constants" in state.model_state
+    assert "batch_stats" in state.model_state
