@@ -119,6 +119,19 @@ def aggregate_logits(wav_logits: np.ndarray, t0: float, t1: float,
     raise ValueError(f"unknown aggregator {aggregator!r}")
 
 
+def _stream_rng(seed: int, epoch: int, stream: str) -> np.random.RandomState:
+    """Independent per-(seed, epoch, stream) RandomState.
+
+    SeedSequence-derived so the shuffle and crop/augment streams can
+    NEVER collide — additive formulas like ``seed + epoch`` vs
+    ``seed*1000 + epoch`` coincide at seed 0 (and at (0, 1000) vs
+    (1, 0)), coupling the epoch's permutation to its crop draws.
+    """
+    ss = np.random.SeedSequence(
+        [seed, epoch, int.from_bytes(stream.encode(), "little")])
+    return np.random.RandomState(ss.generate_state(4))
+
+
 def pinned_start(start_seconds: float, native_fs: int,
                  num_samples: int) -> int:
     """fixedSegments pinned crop start, in native samples.
@@ -197,11 +210,22 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
         samples = np.pad(samples, (0, need - len(samples)))
     samples = samples[:need]
     if rng is not None and cfg.noise_aug and noise_path is not None:
-        noise, _ = read_wav(noise_path, 0, need)
+        # Read in the noise clip's NATIVE samples and resample to the
+        # target rate (same arithmetic as mix_corpus_noise — an
+        # off-rate clip otherwise covers only ~fs_ratio of the window,
+        # pitched by the ratio).
+        ninfo = _noise_wav_info(str(noise_path))
+        n_need = (need if ninfo.sample_rate == fs
+                  else int(np.ceil(need * ninfo.sample_rate / fs)) + 4)
+        noise, nfs = read_wav(noise_path, 0, n_need)
+        if nfs != fs:
+            from mcncrossmodalemotions_tpu.data.audio import resample_to
+
+            noise = resample_to(noise, nfs, fs)
         if len(noise) < need:
             noise = np.pad(noise, (0, need - len(noise)))
         snr_scale = float(rng.uniform(0.0, 0.3))
-        samples = samples + snr_scale * noise
+        samples = samples + snr_scale * noise[:need]
     t0 = start / native_fs
     return samples.astype(np.float32), t0, info.duration
 
@@ -296,8 +320,7 @@ class EmoVoxBatcher:
         — the reference's mini-epoch mechanism (run_distillation.m:154)."""
         n = self.imdb.num_tracks
         if self.train:
-            rng = np.random.RandomState(self.seed + epoch)
-            idx = rng.permutation(n)
+            idx = _stream_rng(self.seed, epoch, "shuffle").permutation(n)
         else:
             idx = np.arange(n)
         if epoch_size is not None:
@@ -308,7 +331,7 @@ class EmoVoxBatcher:
                 drop_remainder: bool = False) -> Iterator[Dict[str, np.ndarray]]:
         cfg = self.cfg
         idx = self.epoch_indices(epoch, epoch_size)
-        rng = np.random.RandomState(self.seed * 1000 + epoch) if self.train else None
+        rng = _stream_rng(self.seed, epoch, "augment") if self.train else None
         wav_root = Path(self.imdb.wav_dir)
         use_native = False
         if not (self.train and (cfg.speed_aug or cfg.noise_enabled)):
@@ -467,13 +490,21 @@ def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
                          num_emotions: int = 8,
                          duration_range=(4.2, 8.0),
                          sample_rate: int = 16000,
-                         with_frames: bool = False) -> EmoVoxImdb:
+                         with_frames: bool = False,
+                         logit_gap: float = 8.0) -> EmoVoxImdb:
     """Synthetic mini EmoVoxCeleb: wav files + correlated fake teacher logits.
 
     The reference's dev/smoke pattern (opts.dev / opts.limit,
     SURVEY.md section 4.3) made first-class: each track's dominant
     "emotion" drives both its tone content and its teacher logits, so
     distillation on this imdb is learnable end-to-end in tests.
+
+    ``logit_gap`` is the dominant-class bump on the fake teacher logits.
+    The default 8.0 keeps the T=2 soft targets PEAKED (p_dom ~0.87,
+    entropy ~0.6 nats): a 4.0 gap gives p_dom ~0.51 and an entropy floor
+    of ~1.6 nats, leaving the hot-cross-ent loss only ~0.4 nats of
+    observable range — too flat for convergence tests to distinguish
+    learning from luck (measured in the round-3 recipe probes).
     """
     root = Path(root)
     rng = np.random.RandomState(seed)
@@ -484,10 +515,24 @@ def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
             duration = float(rng.uniform(*duration_range))
             n = int(duration * sample_rate)
             emotion = int(rng.randint(0, num_emotions))
-            # tone frequency encodes the emotion; noise keeps it non-trivial
+            # tone frequency encodes the emotion; noise keeps it
+            # non-trivial. The tone is AMPLITUDE-MODULATED at an
+            # emotion-keyed RATE: the frontend instance-normalises each
+            # frequency bin over TIME (getBatchEmoVoxCeleb.m:164-169),
+            # which ERASES a stationary tone (constant bin energy ->
+            # zero mean, noise-level residual; measured same-emotion
+            # feature correlation 0.005 = cross-emotion). The slow
+            # envelope gives the tone bin temporal variance — and keying
+            # its rate to the emotion adds a second class cue that
+            # survives per-bin normalisation EXACTLY (the normalised bin
+            # is a unit-variance sinusoid at the class rate), so
+            # distillation on this imdb is genuinely learnable, not
+            # noise-scraping.
             freq = 200.0 + 150.0 * emotion
+            rate = 0.8 + 0.35 * emotion
             tt = np.arange(n) / sample_rate
-            wave = (0.5 * np.sin(2 * np.pi * freq * tt)
+            envelope = 0.3 + 0.7 * (0.5 + 0.5 * np.sin(2 * np.pi * rate * tt))
+            wave = (0.5 * np.sin(2 * np.pi * freq * tt) * envelope
                     + 0.05 * rng.randn(n)).astype(np.float32)
             rel = f"spk{s:03d}/track{t:03d}.wav"
             from mcncrossmodalemotions_tpu.data.audio import write_wav
@@ -495,7 +540,7 @@ def build_synthetic_imdb(root: str | Path, num_speakers: int = 4,
             write_wav(root / rel, wave, sample_rate)
             f = max(int(duration * LOGIT_FPS / LOGIT_STRIDE), 1)
             logits = rng.randn(f, num_emotions).astype(np.float32) * 0.3
-            logits[:, emotion] += 4.0
+            logits[:, emotion] += logit_gap
             if with_frames:
                 from mcncrossmodalemotions_tpu.data.images import (
                     save_synthetic_frame,

@@ -32,6 +32,31 @@ SET_HEARD_VAL = 3
 FER_TRAIN, FER_VAL, FER_TEST = 1, 2, 3
 
 
+
+def object_array(seq) -> np.ndarray:
+    """1-D object array whose elements are the items of ``seq``.
+
+    ``np.asarray(seq, dtype=object)`` COLLAPSES uniformly-shaped
+    per-track arrays into one (N, F, C) object ndarray, which
+    round-trips through npz as object-dtype rows that break float
+    ufuncs downstream (np.exp on softmax inputs). Pre-allocating the
+    1-D container keeps each track an independent float array.
+    """
+    arr = np.empty(len(seq), object)
+    for i, item in enumerate(seq):
+        arr[i] = item
+    return arr
+
+
+def float_tracks(rows) -> list:
+    """Per-track rows from an npz cache -> list of float32 arrays.
+
+    Coerces rows written by the old collapsing ``np.asarray`` idiom
+    (object-dtype matrices) back to float32, so pre-fix caches load
+    correctly."""
+    return [np.asarray(r, np.float32) for r in rows]
+
+
 def _save_npz(path: str | Path, arrays: Dict[str, np.ndarray], meta: dict) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -86,10 +111,10 @@ class EmoVoxImdb:
             "wav_paths": np.asarray(self.wav_paths, dtype=object),
             "speaker": np.asarray(self.speaker, dtype=object),
             "set_id": np.asarray(self.set_id, np.int32),
-            "wav_logits": np.asarray(self.wav_logits, dtype=object),
+            "wav_logits": object_array(self.wav_logits),
         }
         if self.dense_frames is not None:
-            arrays["dense_frames"] = np.asarray(self.dense_frames, dtype=object)
+            arrays["dense_frames"] = object_array(self.dense_frames)
         _save_npz(path, arrays, {"wav_dir": self.wav_dir,
                                  "frame_dir": self.frame_dir,
                                  "classes": list(self.classes)})
@@ -101,7 +126,7 @@ class EmoVoxImdb:
             wav_paths=data["wav_paths"],
             speaker=data["speaker"],
             set_id=data["set_id"],
-            wav_logits=list(data["wav_logits"]),
+            wav_logits=float_tracks(data["wav_logits"]),
             dense_frames=(
                 list(data["dense_frames"]) if "dense_frames" in data else None
             ),
@@ -260,9 +285,9 @@ class TrackImdb:
         if self.wav_paths is not None:
             arrays["wav_paths"] = np.asarray(self.wav_paths, dtype=object)
         if self.frame_paths is not None:
-            arrays["frame_paths"] = np.asarray(self.frame_paths, dtype=object)
+            arrays["frame_paths"] = object_array(self.frame_paths)
         if self.logits is not None:
-            arrays["logits"] = np.asarray(self.logits, dtype=object)
+            arrays["logits"] = object_array(self.logits)
         _save_npz(path, arrays, {"classes": list(self.classes)})
 
     @classmethod
@@ -274,6 +299,7 @@ class TrackImdb:
             set_id=data["set_id"],
             wav_paths=data.get("wav_paths"),
             frame_paths=list(data["frame_paths"]) if "frame_paths" in data else None,
-            logits=list(data["logits"]) if "logits" in data else None,
+            logits=(float_tracks(data["logits"])
+                    if "logits" in data else None),
             classes=tuple(meta["classes"]),
         )

@@ -285,8 +285,10 @@ def compute_audio_feats(imdb, model=None, variables=None,
     (compute_audio_feats.m:38,55).
     """
     if feat_path and Path(feat_path).exists() and not clobber:
+        from mcncrossmodalemotions_tpu.data.imdb import float_tracks
+
         data = np.load(feat_path, allow_pickle=True)
-        return list(data["logits"])
+        return float_tracks(data["logits"])
     wav_dir = getattr(imdb, "wav_dir", "")
     paths = [str(Path(wav_dir) / p) for p in imdb.wav_paths]
     if limit:
@@ -301,6 +303,7 @@ def compute_audio_feats(imdb, model=None, variables=None,
         logits = extractor.track_logits(paths, verbose=verbose)
     if feat_path:
         Path(feat_path).parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(feat_path,
-                            logits=np.asarray(logits, dtype=object))
+        from mcncrossmodalemotions_tpu.data.imdb import object_array
+
+        np.savez_compressed(feat_path, logits=object_array(logits))
     return logits

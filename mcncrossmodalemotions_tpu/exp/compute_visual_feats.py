@@ -71,7 +71,8 @@ class VisualFeatureExtractor:
         import hashlib
 
         h = hashlib.sha1()
-        h.update(f"crop={self.crop_ratio}\n".encode())
+        h.update(f"crop={self.crop_ratio} size={self.input_size}\n"
+                 .encode())
         h.update(str(len(frame_paths)).encode())
         h.update("\n".join(map(str, frame_paths[:: max(1, len(frame_paths) // 4096)])).encode())
         for leaf in jax.tree.leaves(self.variables):
@@ -189,8 +190,10 @@ def compute_visual_feats(imdb, model=None, variables=None,
     build uses 1/1.6.
     """
     if feat_path and Path(feat_path).exists() and not clobber:
+        from mcncrossmodalemotions_tpu.data.imdb import float_tracks
+
         data = np.load(feat_path, allow_pickle=True)
-        return list(data["logits"])
+        return float_tracks(data["logits"])
     if feat_path and clobber:
         Path(f"{feat_path}.partial.npz").unlink(missing_ok=True)
     tracks = imdb.frame_paths
@@ -216,5 +219,7 @@ def compute_visual_feats(imdb, model=None, variables=None,
             offset += f
     if feat_path:
         Path(feat_path).parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(feat_path, logits=np.asarray(logits, dtype=object))
+        from mcncrossmodalemotions_tpu.data.imdb import object_array
+
+        np.savez_compressed(feat_path, logits=object_array(logits))
     return logits

@@ -256,11 +256,18 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
             epoch = None
             if use_best_epoch:
                 epoch = ckpt_lib.find_best_epoch(exp_dir)
-            if epoch is not None:
-                state = ckpt_lib.load_checkpoint(
-                    ckpt_lib.checkpoint_path(exp_dir, epoch), state)
-            else:
-                _, state = ckpt_lib.load_latest(exp_dir, state)
+            try:
+                # restore_from_exp resolves the on-disk path for BOTH
+                # backends and raises when nothing is restorable — an
+                # eval of a fresh random init must never be reported
+                # (and cached by benchmark_ferplus_models) as a result
+                state = ckpt_lib.restore_from_exp(exp_dir, state,
+                                                  epoch=epoch)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"evaluate_only={subset!r}: no trained checkpoint in "
+                    f"{exp_dir} ({exc}) — train first, or evaluate a "
+                    "released model via pretrained_mat") from exc
         _, stats = trainer.run_epoch(
             state,
             ferplus_batches(imdb, subset, cfg.batch_size,

@@ -48,7 +48,9 @@ def sample_audio(imdb: EmoVoxImdb, out_dir: str | Path,
         shutil.rmtree(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    labels = np.asarray([int(w.max(axis=0).argmax()) for w in imdb.wav_logits])
+    from mcncrossmodalemotions_tpu.exp.student_stats import teacher_labels
+
+    labels = teacher_labels(imdb)  # one definition of the label convention
     targets = emotions or [e for e in EMOTIONS if e not in SAMPLE_IGNORE]
     rng = np.random.RandomState(seed)
     sampled = {}

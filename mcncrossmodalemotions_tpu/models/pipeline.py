@@ -18,8 +18,7 @@ from mcncrossmodalemotions_tpu.models.vggm import VGGMStudent
 from mcncrossmodalemotions_tpu.ops.spectrogram import (
     DEFAULT_SPEC,
     SpecConfig,
-    instance_norm,
-    spectrogram,
+    waveform_to_input,
 )
 
 
@@ -56,10 +55,6 @@ class AudioStudentPipeline(nn.Module):
     def frontend(self, x: jax.Array, valid_frames=None) -> jax.Array:
         # int16 PCM decode happens inside the spectrogram ops (shared by
         # every consumer of the batchers' compact feed format).
-        from mcncrossmodalemotions_tpu.ops.spectrogram import (
-            waveform_to_input,
-        )
-
         feats = waveform_to_input(x, self.spec, valid_frames=valid_frames,
                                   use_pallas=self.use_pallas_frontend)
         return jax.lax.stop_gradient(feats)

@@ -65,10 +65,19 @@ class Bottleneck(nn.Module):
                                 param_dtype=self.param_dtype, name=name)(h)
 
         residual = x
-        y = nn.Conv(self.features, (1, 1), name="conv1", **conv_kw)(x)
+        # Downsampling stride sits on the FIRST 1x1 (the Caffe
+        # convention of the released VGGFace2/SENet teachers — layer
+        # naming conv{s}_{b}_1x1_reduce descends from the original
+        # He/SENet Caffe prototxts, which stride the reduce conv), NOT
+        # on the 3x3 as in torchvision's v1.5 variant. Imported released
+        # weights must downsample at the same layer they were trained
+        # with or every stage-entry activation shifts.
+        y = nn.Conv(self.features, (1, 1),
+                    strides=(self.strides, self.strides),
+                    name="conv1", **conv_kw)(x)
         y = nn.relu(bn(y, "bn1"))
-        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", name="conv2", **conv_kw)(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    name="conv2", **conv_kw)(y)
         y = nn.relu(bn(y, "bn2"))
         y = nn.Conv(self.features * 4, (1, 1), name="conv3", **conv_kw)(y)
         y = bn(y, "bn3")
@@ -119,7 +128,13 @@ class ResNet(nn.Module):
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # Caffe pad-0 CEIL-mode pool (the released teachers' geometry):
+        # windows start at row/col 0 with a one-pixel bottom/right pad
+        # for the final partial window — flax padding [(0,1),(0,1)].
+        # Symmetric (1,1) padding would give the same 56x56 shape but
+        # with every window shifted one pixel up-left of how the
+        # released weights were trained.
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(0, 1), (0, 1)])
         stage_sizes = self.stage_sizes or _STAGE_SIZES[self.depth]
         for stage, num_blocks in enumerate(stage_sizes):
             for block in range(num_blocks):

@@ -32,9 +32,13 @@ def reinit_head(variables: Dict[str, Any], num_outputs: int,
     head = variables["params"][head_name]
     kernel = np.asarray(head["kernel"])
     in_features = kernel.shape[-2] if kernel.ndim > 1 else kernel.shape[0]
-    new_kernel = scale * jax.random.normal(
-        rng, (in_features, num_outputs), jnp.float32
-    )
+    # Preserve the head kernel's RANK: a conv head keeps its leading
+    # spatial axes ([1, 1, C, N], the reference's resized final conv),
+    # a Dense head stays [C, N] — a rank change would make the rebuilt
+    # tree unusable by the model that produced it.
+    shape = kernel.shape[:-2] + (in_features, num_outputs) \
+        if kernel.ndim > 1 else (in_features, num_outputs)
+    new_kernel = scale * jax.random.normal(rng, shape, jnp.float32)
     new_head = dict(head)
     new_head["kernel"] = new_kernel
     if "bias" in head:

@@ -182,13 +182,14 @@ class VGGMStudent(nn.Module):
             mask = (jnp.arange(t_out)[None, :] < valid[:, None]).astype(x.dtype)
             x = jnp.sum(x[:, 0] * mask[:, :, None], axis=1) / valid[:, None].astype(x.dtype)
 
-        embedding = x  # pre-fc7 4096-d pooled features
         x = nn.Dense(self.fc7_features, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc7")(x.astype(self.dtype))
         x = nn.relu(x)
+        # embedding = post-fc7 features (class docstring), captured
+        # BEFORE dropout so train-mode extraction isn't dropout-masked
+        embedding = x.astype(jnp.float32)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        embedding = x.astype(jnp.float32)
 
         logits = nn.Dense(
             self.num_outputs,

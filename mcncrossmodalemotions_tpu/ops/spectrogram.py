@@ -280,7 +280,8 @@ def instance_norm(spec: jax.Array, eps: float = 1e-8, valid_frames=None) -> jax.
         var = jnp.sum(((spec - mu) * mask) ** 2, axis=-1, keepdims=True) / jnp.maximum(
             denom - 1.0, 1.0
         )
-        spec = spec * mask  # zero padded region so it stays zero post-norm
+        # the where's false branch already zeroes the padded region;
+        # no pre-multiply by the mask is needed
         return jnp.where(mask > 0, (spec - mu) / jnp.sqrt(var + eps), 0.0)
     return (spec - mu) / jnp.sqrt(var + eps)
 

@@ -157,8 +157,15 @@ def resize_separable(images: jax.Array, out_height: int,
         return images
 
     def weights(n_in: int, n_out: int) -> jax.Array:
-        if n_out == 1 or n_in == 1:
-            return jnp.full((n_in, n_out), 1.0 / n_in, jnp.float32)
+        if n_in == 1:  # replication — all conventions agree
+            return jnp.full((n_in, n_out), 1.0, jnp.float32)
+        if n_out == 1:
+            # align-corners with one output samples INDEX 0 (the host
+            # resize's fy=0 and the warp sampler's linspace(-1,1,1) both
+            # pick the first pixel) — NOT the axis mean
+            mat = np.zeros((n_in, 1), np.float32)
+            mat[0, 0] = 1.0
+            return jnp.asarray(mat)
         pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
         lo = np.clip(np.floor(pos).astype(int), 0, n_in - 1)
         hi = np.minimum(lo + 1, n_in - 1)

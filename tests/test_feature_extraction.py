@@ -266,3 +266,62 @@ def test_visual_extractor_with_mesh(tmp_path, tiny_teacher_pipeline):
     a = single.frame_logits(paths, verbose=False)
     b = sharded.frame_logits(paths, verbose=False)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_uniform_track_cache_roundtrip(tmp_path):
+    """Uniformly-shaped [1, C] per-track logits must survive the npz
+    cache as float arrays: np.asarray(dtype=object) used to collapse
+    them into an (N, 1, C) object ndarray whose rows broke np.exp in
+    student_stats (reproduced crash)."""
+    import numpy as np
+
+    from mcncrossmodalemotions_tpu.data.imdb import (
+        TrackImdb,
+        float_tracks,
+        object_array,
+    )
+
+    rows = [np.full((1, 8), i, np.float32) for i in range(5)]
+    arr = object_array(rows)
+    assert arr.shape == (5,) and arr.dtype == object
+    assert arr[3].dtype == np.float32
+
+    # through the TrackImdb npz round-trip
+    imdb = TrackImdb(track_ids=np.arange(5).astype(str),
+                     labels=np.zeros(5, np.int32),
+                     set_id=np.ones(5, np.int32),
+                     logits=rows)
+    p = tmp_path / "ti.npz"
+    imdb.save(p)
+    back = TrackImdb.load(p)
+    assert back.logits[2].dtype == np.float32
+    np.testing.assert_array_equal(back.logits[2], rows[2])
+    # softmax over the concatenation works (the crash site)
+    from mcncrossmodalemotions_tpu.exp.student_stats import softmax_np
+
+    s = softmax_np(np.concatenate(back.logits), axis=1)
+    assert np.isfinite(s).all()
+
+    # legacy collapsed caches (old writer) still load as float rows
+    legacy = tmp_path / "legacy.npz"
+    np.savez(legacy, logits=np.asarray(rows, dtype=object))
+    fixed = float_tracks(np.load(legacy, allow_pickle=True)["logits"])
+    assert fixed[1].dtype == np.float32
+    np.testing.assert_array_equal(fixed[1], rows[1])
+
+
+def test_visual_partial_key_includes_input_size(tmp_path):
+    """A dense-pass partial checkpoint is invalid across input_size
+    changes (every logit depends on the decode resolution)."""
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+    )
+
+    class Dummy:
+        def apply(self, v, x, train=False):
+            return x
+
+    a = VisualFeatureExtractor(Dummy(), {"w": np.zeros(1)}, input_size=224)
+    b = VisualFeatureExtractor(Dummy(), {"w": np.zeros(1)}, input_size=112)
+    paths = ["x/1.jpg", "x/2.jpg"]
+    assert a._job_key(paths) != b._job_key(paths)

@@ -140,8 +140,17 @@ def test_distillation_convergence_regression(tmp_path):
     the paper's core claim, and the reference guarded trained-model
     quality with cached benchmark regressions
     (benchmark_ferplus_models.m:42-60). Fully deterministic (seeded data,
-    seeded init, deterministic CPU math); measured headroom 0.767 at
-    this recipe (~2 min).
+    seeded init, deterministic CPU math).
+
+    Recipe sizing (round-3 probes, /tmp-style A/B runs): 48 tracks /
+    12 epochs / bs8 = 72 SGD steps at LR 0.1->0.03 with 2 s crops and
+    logit_gap=8 soft targets. Measured seed-0 headroom: unheardVal
+    meanAuc 1.00, final train loss 1.46 (from the 2.079 ln-8 start
+    against a ~0.6-nat target-entropy floor); seeds 1-3 re-rolls gave
+    AUC 0.74-0.90 / loss 1.39-1.76 — the loss assertion below is the
+    luck-proof signal; smaller recipes (24 tracks / 10 epochs / 4 s
+    crops / logit_gap=4) sat at loss ~2.06 where the AUC outcome
+    flipped between 0.15 and 0.77 on a pure RNG-stream re-roll.
     """
     from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
     from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
@@ -154,14 +163,21 @@ def test_distillation_convergence_regression(tmp_path):
     from mcncrossmodalemotions_tpu.exp.student_stats import student_stats
     from mcncrossmodalemotions_tpu.zoo import build_student
 
-    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=4,
-                                tracks_per_speaker=6, seed=0)
-    cfg = DistillationConfig(num_epochs=10, batch_size=8, tiny_model=True,
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=6,
+                                tracks_per_speaker=8, seed=0)
+    cfg = DistillationConfig(num_epochs=12, batch_size=8, tiny_model=True,
+                             num_seconds=2.0,
                              mini_epoch_ratio=1.0, mini_val=1.0,
-                             lr_start_exp=-1.5, lr_stop_exp=-2.0,
+                             lr_start_exp=-1.0, lr_stop_exp=-1.5,
                              out_root=str(tmp_path / "exps"))
     state, history, _ = run_distillation(cfg, imdb=imdb, mesh=None)
-    # the loss stack must have improved over the run, not just wiggled
+    # the loss must have DROPPED decisively (ln 8 = 2.079 start, ~0.6
+    # target-entropy floor, 1.46 measured): not just wiggled
+    final_loss = history[-1]["train"]["loss"]
+    assert final_loss < 1.9, (
+        f"final train loss {final_loss:.3f} >= 1.9 — distillation is not "
+        "descending (regression in the loss/batcher/engine stack; broken "
+        "runs sit at >= 2.05, healthy seeds measured 1.39-1.76)")
     assert history[-1]["train"]["classerror"] < history[0]["train"]["classerror"]
 
     bare = build_student(tiny=True, with_frontend=False)

@@ -352,3 +352,25 @@ def test_conv1_s2d_init_equals_plain_init():
                           conv1_s2d=False).init(jax.random.PRNGKey(7), x)
     for a, b in zip(jax.tree.leaves(v_s2d), jax.tree.leaves(v_plain)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resnet_downsamples_at_the_reduce_conv():
+    """Released VGGFace2/SENet teachers are Caffe-trained: the
+    stage-entry stride lives on the 1x1_reduce (our conv1), NOT the 3x3
+    (torchvision v1.5), and the stem pool is pad-0 ceil-mode. Imported
+    weights must downsample where they were trained to."""
+    from mcncrossmodalemotions_tpu.models.resnet import ResNet
+
+    model = ResNet(stage_sizes=(1, 1), width=8, num_outputs=4)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, inter = model.apply(variables, x, capture_intermediates=True,
+                           mutable=["intermediates"])
+    inter = inter["intermediates"]
+    # stage-2 entry block: conv1 output already at the downsampled size
+    c1 = inter["layer2_0"]["conv1"]["__call__"][0]
+    c2 = inter["layer2_0"]["conv2"]["__call__"][0]
+    assert c1.shape[1:3] == c2.shape[1:3] == (8, 8), (c1.shape, c2.shape)
+    # stem: 64 -> conv1/s2 -> 32 -> pad-0 ceil pool -> 16
+    stem = inter["layer1_0"]["conv1"]["__call__"][0]
+    assert stem.shape[1:3] == (16, 16), stem.shape
