@@ -106,10 +106,13 @@ def bench_train_step(details: dict):
                               SGDConfig(weight_decay=0.0))
     step = jax.jit(step_fn, donate_argnums=(0,))
 
-    # analytic FLOPs from the compiled program (for the MFU estimate) —
-    # lower/compile the SAME donated jit so the ~3 min compile is paid
-    # once and the timing loop below hits the cache
+    # analytic FLOPs from the compiled program (for the MFU estimate).
+    # The timing loop calls the AOT `compiled` executable directly:
+    # lower().compile() does NOT populate jit's dispatch cache, so
+    # calling `step(...)` afterwards would re-trace and (without the
+    # persistent compilation cache) pay the ~3 min XLA compile twice.
     flops = None
+    compiled = None
     try:
         compiled = step.lower(state, batch, 1e-4).compile()
         ca = compiled.cost_analysis()
@@ -119,11 +122,12 @@ def bench_train_step(details: dict):
     except Exception as exc:  # cost analysis is backend-dependent
         _log(f"cost_analysis unavailable: {exc}")
 
+    call = compiled if compiled is not None else step
     st = [state]
     metrics_box = [None]
 
     def run():
-        s, m = step(st[0], batch, 1e-4)
+        s, m = call(st[0], batch, 1e-4)
         st[0] = s
         metrics_box[0] = m
 

@@ -58,6 +58,14 @@ def make_mesh(num_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            # Slicing short here would silently train on a smaller mesh
+            # (doubled per-device batch, no flag that e.g. multihost
+            # initialisation never ran) — fail loudly instead.
+            raise ValueError(
+                f"make_mesh({num_devices}): only {len(devices)} device(s) "
+                "visible — check jax.distributed initialisation / "
+                "the xla_force_host_platform_device_count test config")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

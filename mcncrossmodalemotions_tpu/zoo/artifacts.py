@@ -117,9 +117,24 @@ def _verify(path: Path, expected: Optional[str],
     sidecar = path.with_suffix(path.suffix + ".sha256")
     size = path.stat().st_size
     if sidecar.exists():
+        # A crash/disk-full mid-write can leave an empty or garbled
+        # sidecar (write_text is not atomic). Treat that as "no pin
+        # recorded yet" and fall through to re-hash + rewrite, instead
+        # of dying with IndexError on every later load.
         parts = sidecar.read_text().split()
-        pinned = parts[0]
-        pinned_size = int(parts[1]) if len(parts) > 1 else None
+        pinned = parts[0] if parts and len(parts[0]) == 64 else None
+        try:
+            pinned_size = int(parts[1]) if len(parts) > 1 else None
+        except ValueError:
+            pinned_size = None
+        if pinned is None:
+            digest = _file_sha256(path)
+            if expected is not None and digest != expected:
+                raise ArtifactUnavailable(
+                    f"{path}: sha256 mismatch (got {digest}, expected "
+                    f"{expected}) — delete the file to re-download")
+            sidecar.write_text(f"{digest} {size}\n")
+            return
         if pinned_size == size and not full_check:
             return  # fast path: size matches the pinned record
         digest = _file_sha256(path)

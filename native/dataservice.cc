@@ -41,8 +41,14 @@ namespace {
 // ---------------------------------------------------------------------------
 class ThreadPool {
  public:
-  explicit ThreadPool(int num_threads) {
-    for (int i = 0; i < num_threads; ++i) {
+  explicit ThreadPool(int num_threads) { EnsureThreads(num_threads); }
+
+  // Grow the pool to at least `num_threads` workers. The pool is a
+  // process-global sized lazily by its callers; without this, the FIRST
+  // caller's num_threads silently pinned every later call's parallelism.
+  void EnsureThreads(int num_threads) {
+    std::lock_guard<std::mutex> lock(grow_mu_);
+    while (static_cast<int>(workers_.size()) < num_threads) {
       workers_.emplace_back([this] { Loop(); });
     }
   }
@@ -79,26 +85,37 @@ class ThreadPool {
   std::vector<std::thread> workers_;
   std::queue<std::function<void()>> queue_;
   std::mutex mu_;
+  std::mutex grow_mu_;
   std::condition_variable cv_;
   bool done_ = false;
 };
 
 ThreadPool* GlobalPool(int num_threads) {
   static ThreadPool* pool = new ThreadPool(num_threads > 0 ? num_threads : 8);
+  if (num_threads > 0) pool->EnsureThreads(num_threads);
   return pool;
 }
 
-// Run `count` tasks on the pool and wait for completion.
-void ParallelFor(int count, int num_threads,
-                 const std::function<void(int)>& body) {
-  if (count <= 0) return;
+// Run `count` tasks on the pool and wait for completion. Returns the
+// number of tasks that threw (e.g. bad_alloc on a corrupt input's size
+// field): an exception escaping a pool thread would std::terminate the
+// whole process, violating the corrupt-input contract, so it is caught
+// here and surfaced as a failure count for the caller to add in.
+int ParallelFor(int count, int num_threads,
+                const std::function<void(int)>& body) {
+  if (count <= 0) return 0;
   ThreadPool* pool = GlobalPool(num_threads);
   std::atomic<int> remaining(count);
+  std::atomic<int> threw(0);
   std::mutex mu;
   std::condition_variable cv;
   for (int i = 0; i < count; ++i) {
     pool->Submit([&, i] {
-      body(i);
+      try {
+        body(i);
+      } catch (...) {
+        threw.fetch_add(1);
+      }
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lock(mu);
         cv.notify_one();
@@ -107,6 +124,7 @@ void ParallelFor(int count, int num_threads,
   }
   std::unique_lock<std::mutex> lock(mu);
   cv.wait(lock, [&] { return remaining.load() == 0; });
+  return threw.load();
 }
 
 // ---------------------------------------------------------------------------
@@ -133,6 +151,10 @@ bool ParseWavHeader(FILE* f, WavHeader* h) {
     memcpy(&size, chunk + 4, 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
       if (size < 16) return false;  // PCM fmt chunk is >= 16 bytes
+      // A real fmt chunk is <= ~40 bytes (EXTENSIBLE); a corrupt size
+      // field must fail the parse, not attempt a ~4 GB allocation that
+      // std::terminates the loader threads via bad_alloc.
+      if (size > 4096) return false;
       std::vector<unsigned char> fmt(size + (size % 2));
       if (fread(fmt.data(), 1, fmt.size(), f) != fmt.size()) return false;
       memcpy(&h->format, fmt.data(), 2);
@@ -165,6 +187,15 @@ int64_t ReadWavSegment(const char* path, int64_t start, int64_t n,
     return -1;
   }
   if (sample_rate) *sample_rate = h.sample_rate;
+  // Mirror data/audio.py read_wav's decode support EXACTLY: float32
+  // (format 3), else int16/int32/uint8 by bit depth. Anything else
+  // (e.g. 24-bit PCM) must ERROR like the Python twin's ValueError —
+  // silently returning silence would corrupt training undetectably.
+  const bool is_float32 = (h.format == 3 && h.bits == 32);
+  if (!is_float32 && h.bits != 16 && h.bits != 32 && h.bits != 8) {
+    fclose(f);
+    return -1;
+  }
   const int frame_bytes = h.channels * h.bits / 8;
   start = std::max<int64_t>(0, start);
   int64_t avail = std::max<int64_t>(0, h.num_samples - start);
@@ -274,6 +305,11 @@ bool DecodeJpegFace(const char* path, int out_size, double crop_ratio,
   if (!f) return false;
   jpeg_decompress_struct cinfo;
   JpegErrorGuard guard;
+  // Declared BEFORE setjmp so its lifetime brackets the jump: a longjmp
+  // out of jpeg_read_scanlines otherwise skips the destructor of a live
+  // vector (UB + a per-corrupt-frame leak of the decode buffer on the
+  // persistent loader threads).
+  std::vector<unsigned char> rgb;
   cinfo.err = jpeg_std_error(&guard.mgr);
   guard.mgr.error_exit = JpegErrorExit;
   if (setjmp(guard.env)) {  // any libjpeg error lands here
@@ -292,7 +328,14 @@ bool DecodeJpegFace(const char* path, int out_size, double crop_ratio,
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
-  std::vector<unsigned char> rgb(static_cast<size_t>(w) * h * 3);
+  // A corrupt header claiming e.g. 65500x65500 would ask for ~12.8 GB;
+  // cap at 64 MP (far above any face frame) and fail the single decode.
+  if (w <= 0 || h <= 0 || static_cast<int64_t>(w) * h > (64 << 20)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  rgb.resize(static_cast<size_t>(w) * h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = rgb.data() + size_t(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -398,11 +441,11 @@ int64_t ds_read_wav(const char* path, int64_t start, int64_t n, float* out,
 int ds_read_crops(const char** paths, const int64_t* starts, int64_t n,
                   int count, int num_threads, float* out) {
   std::atomic<int> failures(0);
-  ParallelFor(count, num_threads, [&](int i) {
+  failures.fetch_add(ParallelFor(count, num_threads, [&](int i) {
     int32_t rate = 0;
     if (ReadWavSegment(paths[i], starts[i], n, out + size_t(i) * n, &rate) < 0)
       failures.fetch_add(1);
-  });
+  }));
   return failures.load();
 }
 
@@ -416,7 +459,7 @@ int ds_read_crops_packed(const char** paths, const int64_t* starts, int64_t n,
                          int count, int num_threads, int mode, void* out) {
   std::atomic<int> failures(0);
   const size_t row_bytes = (mode == 0) ? n * 2 : n;
-  ParallelFor(count, num_threads, [&](int i) {
+  failures.fetch_add(ParallelFor(count, num_threads, [&](int i) {
     std::vector<float> scratch(n);
     int32_t rate = 0;
     if (ReadWavSegment(paths[i], starts[i], n, scratch.data(), &rate) < 0) {
@@ -426,7 +469,7 @@ int ds_read_crops_packed(const char** paths, const int64_t* starts, int64_t n,
     }
     PackRow(scratch.data(), n, mode,
             static_cast<char*>(out) + size_t(i) * row_bytes);
-  });
+  }));
   return failures.load();
 }
 
@@ -441,10 +484,10 @@ int ds_decode_faces(const char** paths, int count, int out_size,
                     double crop_ratio, int num_threads, unsigned char* out) {
   std::atomic<int> failures(0);
   const size_t stride = size_t(out_size) * out_size;
-  ParallelFor(count, num_threads, [&](int i) {
+  failures.fetch_add(ParallelFor(count, num_threads, [&](int i) {
     if (!DecodeJpegFace(paths[i], out_size, crop_ratio, out + i * stride))
       failures.fetch_add(1);
-  });
+  }));
   return failures.load();
 }
 

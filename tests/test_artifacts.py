@@ -65,6 +65,29 @@ def test_cache_hit_pins_and_detects_corruption(tmp_path):
         fetch_artifact("senet50-ferplus", root=tmp_path, download=False)
 
 
+def test_truncated_sidecar_recovers(tmp_path):
+    """A crash mid-write can leave an empty/garbled .sha256 sidecar
+    (write_text is not atomic). Loads must re-pin, not die with
+    IndexError forever."""
+    path = artifact_path("senet50-ferplus", root=tmp_path)
+    path.parent.mkdir(parents=True)
+    path.write_bytes(b"fake release contents")
+    sidecar = path.with_suffix(path.suffix + ".sha256")
+    for garbage in ("", "shorttoken"):
+        sidecar.write_text(garbage)
+        got = fetch_artifact("senet50-ferplus", root=tmp_path,
+                             download=False)
+        assert got == path
+        parts = sidecar.read_text().split()  # re-pinned cleanly
+        assert len(parts[0]) == 64 and int(parts[1]) == path.stat().st_size
+    # a well-formed hash token with a garbled size is treated as a real
+    # pin: mismatching content still raises (corruption detection keeps
+    # priority over recovery)
+    sidecar.write_text("a" * 64 + " notanint")
+    with pytest.raises(ArtifactUnavailable, match="sha256 changed"):
+        fetch_artifact("senet50-ferplus", root=tmp_path, download=False)
+
+
 def test_unknown_artifact_keyerror():
     with pytest.raises(KeyError):
         fetch_artifact("nonexistent-model")

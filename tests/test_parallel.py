@@ -24,6 +24,16 @@ def test_virtual_mesh_has_8_devices():
     assert mesh.devices.shape == (8,)
 
 
+def test_make_mesh_rejects_impossible_request():
+    """Asking for more devices than visible must fail loudly, not
+    silently return a smaller mesh (which would double the per-device
+    batch with no flag that multihost init never ran)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="only 8 device"):
+        make_mesh(16)
+
+
 def test_shard_batch_places_on_mesh():
     mesh = make_mesh()
     batch = {"data": np.zeros((16, 4), np.float32)}
