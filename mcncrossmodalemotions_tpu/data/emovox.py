@@ -99,9 +99,12 @@ class BatchConfig:
 
 
 def time_to_logit_idx(t_seconds: float, num_logits: int) -> int:
-    """Map a time offset to the nearest teacher-logit frame index
-    (time2idx equivalent, fps=25 stride=6)."""
-    idx = int(np.floor(t_seconds * LOGIT_FPS / LOGIT_STRIDE))
+    """Map a time offset to a teacher-logit frame index: the EXACT
+    time2idx arithmetic (getBatchEmoVoxCeleb.m:210-214,
+    ``floor(max(t*fps - 1, 0)/stride) + 1`` 1-based -> the same floor
+    zero-based). The -1 matters when ``t*fps`` lands on a stride
+    multiple: t=0.24 s is frame 0 (the reference's idx 1), not frame 1."""
+    idx = int(np.floor(max(t_seconds * LOGIT_FPS - 1.0, 0.0) / LOGIT_STRIDE))
     return int(np.clip(idx, 0, max(num_logits - 1, 0)))
 
 
@@ -182,7 +185,11 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
     need = cfg.crop_samples
 
     factor = 1.0
-    if rng is not None and cfg.speed_aug:
+    if rng is not None and cfg.speed_aug and start_seconds is None:
+        # fixedSegments and chspeed are mutually exclusive branches in
+        # the reference (getBatchEmoVoxCeleb.m:91-108 if/elseif): pinned
+        # segments are read verbatim, never speed-perturbed (and must
+        # not consume the extra RNG draw).
         factor = float(rng.uniform(0.95, 1.05))
     # All crop arithmetic in NATIVE-rate samples: `need` target-rate
     # samples correspond to need * native/target native samples (plus
@@ -210,22 +217,12 @@ def load_crop(wav_path: str | Path, cfg: BatchConfig,
         samples = np.pad(samples, (0, need - len(samples)))
     samples = samples[:need]
     if rng is not None and cfg.noise_aug and noise_path is not None:
-        # Read in the noise clip's NATIVE samples and resample to the
-        # target rate (same arithmetic as mix_corpus_noise — an
-        # off-rate clip otherwise covers only ~fs_ratio of the window,
-        # pitched by the ratio).
-        ninfo = _noise_wav_info(str(noise_path))
-        n_need = (need if ninfo.sample_rate == fs
-                  else int(np.ceil(need * ninfo.sample_rate / fs)) + 4)
-        noise, nfs = read_wav(noise_path, 0, n_need)
-        if nfs != fs:
-            from mcncrossmodalemotions_tpu.data.audio import resample_to
-
-            noise = resample_to(noise, nfs, fs)
-        if len(noise) < need:
-            noise = np.pad(noise, (0, need - len(noise)))
+        # corpus-free fallback: mix another dataset clip from offset 0
+        # (read_noise_resampled shares the off-rate arithmetic with the
+        # corpus mix)
+        noise = read_noise_resampled(noise_path, need, fs)
         snr_scale = float(rng.uniform(0.0, 0.3))
-        samples = samples + snr_scale * noise[:need]
+        samples = samples + snr_scale * noise
     t0 = start / native_fs
     return samples.astype(np.float32), t0, info.duration
 
@@ -238,6 +235,26 @@ def _noise_wav_info(path_str: str):
     is paid at most once per file here, for both the length and the
     sample-rate reads."""
     return wav_info(Path(path_str))
+
+
+def read_noise_resampled(path, need: int, target_fs: int,
+                         start: int = 0) -> np.ndarray:
+    """Read ``need`` target-rate samples of noise from ``path`` at
+    native-rate offset ``start``, resampling off-rate corpora and
+    zero-padding short reads. ONE definition of the rate-sensitive
+    arithmetic, shared by the corpus mix and the corpus-free fallback
+    (they previously desynchronised on exactly this computation)."""
+    info = _noise_wav_info(str(path))
+    need_native = (need if info.sample_rate == target_fs
+                   else int(np.ceil(need * info.sample_rate / target_fs)) + 4)
+    noise, fs = read_wav(path, start, need_native)
+    if fs != target_fs:
+        from mcncrossmodalemotions_tpu.data.audio import resample_to
+
+        noise = resample_to(noise, fs, target_fs)
+    if len(noise) < need:
+        noise = np.pad(noise, (0, need - len(noise)))
+    return noise[:need]
 
 
 def mix_corpus_noise(samples: np.ndarray, ncfg: NoiseConfig,
@@ -265,15 +282,9 @@ def mix_corpus_noise(samples: np.ndarray, ncfg: NoiseConfig,
     total = ncfg.noise_len if ncfg.noise_len is not None else info.num_samples
     max_start = max(total - need_native, 0)
     start = int(rng.randint(0, max_start + 1)) if max_start > 0 else 0
-    noise, fs = read_wav(path, start, need_native)
-    if fs != target_fs:
-        from mcncrossmodalemotions_tpu.data.audio import resample_to
-
-        noise = resample_to(noise, fs, target_fs)
-    if len(noise) < need:
-        noise = np.pad(noise, (0, need - len(noise)))
+    noise = read_noise_resampled(path, need, target_fs, start=start)
     ratio = float(rng.uniform(0.0, ncfg.noise_vol))
-    return (samples + ratio * noise[:need]).astype(np.float32)
+    return (samples + ratio * noise).astype(np.float32)
 
 
 def make_targets(logit_window: np.ndarray, cfg: BatchConfig) -> Dict[str, np.ndarray]:

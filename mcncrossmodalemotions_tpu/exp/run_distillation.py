@@ -217,7 +217,13 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
     )
     train_batcher = EmoVoxBatcher(train_imdb, bcfg, train=True, seed=cfg.seed,
                                   time_offsets=train_offsets)
-    val_batcher = EmoVoxBatcher(val_imdb, bcfg, train=False, seed=cfg.seed,
+    # The val pass always scores against the OFFLINE wav_logits targets
+    # (make_eval_step) even in online_teacher mode — decoding + shipping
+    # face frames for it would more than double the val feed bytes for
+    # data the eval step never reads.
+    val_batcher = EmoVoxBatcher(val_imdb,
+                                dataclasses.replace(bcfg, frames_per_crop=0),
+                                train=False, seed=cfg.seed,
                                 time_offsets=val_offsets)
     num_devices = (int(np.prod(mesh.devices.shape)) if mesh is not None
                    else 1)

@@ -44,8 +44,15 @@ def save_checkpoint(exp_dir: str | Path, epoch: int, state: Any,
 
     ``backend='msgpack'`` (default) writes one flax-serialised file —
     right-sized for replicated-DP states. ``backend='orbax'`` writes an
-    Orbax PyTree checkpoint directory — the TPU-production choice for
-    sharded/multi-host states (per-shard files, async-capable).
+    Orbax PyTree checkpoint directory (the TPU-production format).
+
+    Both backends assume the REPLICATED-state discipline this framework
+    trains under (DP-only, like the reference — SURVEY.md parallelism
+    checklist): the engine gates saves to process 0, which device_gets
+    its full replica. A non-replicated (tensor-sharded) state would need
+    every process to participate in a collective Orbax save — that path
+    is deliberately out of scope and device_get would raise on
+    non-addressable shards rather than write silently-partial state.
     """
     exp_dir = Path(exp_dir)
     exp_dir.mkdir(parents=True, exist_ok=True)

@@ -54,7 +54,8 @@ class TrainConfig:
     exp_dir: str = "exp"
     resume: bool = True  # the reference's 'continue' option
     checkpoint_every: int = 1
-    checkpoint_backend: str = "msgpack"  # 'orbax' for sharded/multi-host
+    checkpoint_backend: str = "msgpack"  # 'orbax' = Orbax dir format;
+    # both assume replicated-DP state, saved by process 0 (checkpoints.py)
     log_every: int = 20
     # Observability (SURVEY.md section 5.1/5.2): optional jax.profiler
     # trace of the first train epoch, and a NaN tripwire replacing the

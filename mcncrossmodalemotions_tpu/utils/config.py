@@ -171,15 +171,25 @@ def write_run_meta(exp_dir, cfg: Any, **extra) -> str:
     files recording the full config + hostname + timestamp (+ any
     driver-specific ``extra`` keys). The JSON side is a load-bearing
     contract — ``read_latest_run_config`` rebuilds configs from it for
-    the checkpoint-reload flows. Returns the stamp."""
+    the checkpoint-reload flows. Returns the stamp.
+
+    Multi-host: only process 0 writes (same gating as the engine's
+    checkpoint/metrics writers) — every process calls the driver, and
+    concurrent non-atomic writes to the same shared-storage file could
+    publish a truncated meta JSON, breaking every later
+    ``read_latest_run_config`` reload of the experiment."""
     import json
     import platform
     import time
     from pathlib import Path
 
+    import jax
+
     exp_dir = Path(exp_dir)
-    exp_dir.mkdir(parents=True, exist_ok=True)
     stamp = time.strftime("%Y%m%d-%H%M%S")
+    if jax.process_index() != 0:
+        return stamp
+    exp_dir.mkdir(parents=True, exist_ok=True)
     meta = {"config": to_dict(cfg), "hostname": platform.node(),
             "timestamp": stamp, **extra}
     (exp_dir / f"meta-{stamp}.json").write_text(json.dumps(meta, indent=2))

@@ -58,7 +58,10 @@ def test_speed_perturb_changes_length(rng):
 def test_time_to_logit_idx():
     # fps=25, stride=6: logit frames at ~0.24 s spacing
     assert time_to_logit_idx(0.0, 100) == 0
-    assert time_to_logit_idx(0.24, 100) == 1
+    # boundary: t*fps on a stride multiple — time2idx's -1 selects the
+    # EARLIER frame (floor(max(0.24*25-1,0)/6)+1 = 1, i.e. 0 zero-based)
+    assert time_to_logit_idx(0.24, 100) == 0
+    assert time_to_logit_idx(0.28, 100) == 1
     assert time_to_logit_idx(4.0, 100) == 16
     assert time_to_logit_idx(999.0, 10) == 9  # clipped
 
