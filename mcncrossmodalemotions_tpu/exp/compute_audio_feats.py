@@ -36,6 +36,7 @@ import numpy as np
 
 from mcncrossmodalemotions_tpu.data.audio import read_wav
 from mcncrossmodalemotions_tpu.data.emovox import MAX_CLIP_SECONDS
+from mcncrossmodalemotions_tpu.data.imdb import float_tracks, object_array
 from mcncrossmodalemotions_tpu.ops.spectrogram import (
     DEFAULT_SPEC,
     SpecConfig,
@@ -282,13 +283,16 @@ def compute_audio_feats(imdb, model=None, variables=None,
     ``model_name='random'`` emits gaussian logits (the null baseline,
     compute_audio_feats.m:95-99). Results cached at ``feat_path``;
     ``clobber`` recomputes and overwrites an existing cache
-    (compute_audio_feats.m:38,55).
+    (compute_audio_feats.m:38,55). The cache records the track count
+    and model name so a cache written for a different model (or by a
+    ``limit=`` dev run, which is never cached) cannot be silently
+    returned as this run's features.
     """
     if feat_path and Path(feat_path).exists() and not clobber:
-        from mcncrossmodalemotions_tpu.data.imdb import float_tracks
-
-        data = np.load(feat_path, allow_pickle=True)
-        return float_tracks(data["logits"])
+        logits = _load_feat_cache(feat_path, len(imdb.wav_paths),
+                                  model_name)
+        if logits is not None:
+            return logits
     wav_dir = getattr(imdb, "wav_dir", "")
     paths = [str(Path(wav_dir) / p) for p in imdb.wav_paths]
     if limit:
@@ -301,9 +305,36 @@ def compute_audio_feats(imdb, model=None, variables=None,
         extractor = AudioFeatureExtractor(model, variables,
                                           batch_size=batch_size)
         logits = extractor.track_logits(paths, verbose=verbose)
-    if feat_path:
-        Path(feat_path).parent.mkdir(parents=True, exist_ok=True)
-        from mcncrossmodalemotions_tpu.data.imdb import object_array
-
-        np.savez_compressed(feat_path, logits=object_array(logits))
+    if feat_path and not limit:
+        _save_feat_cache(feat_path, logits, model_name)
     return logits
+
+
+def _load_feat_cache(feat_path, expected_tracks: int, model_name: str):
+    """Finished-cache load with identity checks (shared with
+    compute_visual_feats). Returns None only for a pre-identity legacy
+    cache whose track count cannot match — wrong-model or wrong-count
+    caches RAISE (silently recomputing would mask a config error)."""
+    data = np.load(feat_path, allow_pickle=True)
+    cached_model = (str(data["model_name"]) if "model_name" in data
+                    else None)
+    logits = float_tracks(data["logits"])
+    if cached_model is not None and cached_model != model_name:
+        raise ValueError(
+            f"{feat_path}: cached features are from model "
+            f"{cached_model!r}, not {model_name!r} — use a per-model "
+            "feat_path or clobber=True")
+    if len(logits) != expected_tracks:
+        if cached_model is None:
+            return None  # legacy truncated cache: recompute + rewrite
+        raise ValueError(
+            f"{feat_path}: cache holds {len(logits)} tracks but the imdb "
+            f"has {expected_tracks} — stale cache for a different imdb; "
+            "delete it or pass clobber=True")
+    return logits
+
+
+def _save_feat_cache(feat_path, logits, model_name: str) -> None:
+    Path(feat_path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(feat_path, logits=object_array(logits),
+                        model_name=np.asarray(model_name))

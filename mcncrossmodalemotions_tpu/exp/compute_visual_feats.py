@@ -190,10 +190,14 @@ def compute_visual_feats(imdb, model=None, variables=None,
     build uses 1/1.6.
     """
     if feat_path and Path(feat_path).exists() and not clobber:
-        from mcncrossmodalemotions_tpu.data.imdb import float_tracks
+        from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+            _load_feat_cache,
+        )
 
-        data = np.load(feat_path, allow_pickle=True)
-        return float_tracks(data["logits"])
+        logits = _load_feat_cache(feat_path, len(imdb.frame_paths),
+                                  model_name)
+        if logits is not None:
+            return logits
     if feat_path and clobber:
         Path(f"{feat_path}.partial.npz").unlink(missing_ok=True)
     tracks = imdb.frame_paths
@@ -217,9 +221,10 @@ def compute_visual_feats(imdb, model=None, variables=None,
             f = len(track)
             logits.append(all_logits[offset:offset + f])
             offset += f
-    if feat_path:
-        Path(feat_path).parent.mkdir(parents=True, exist_ok=True)
-        from mcncrossmodalemotions_tpu.data.imdb import object_array
+    if feat_path and not limit:  # a limit= dev run is never cached
+        from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+            _save_feat_cache,
+        )
 
-        np.savez_compressed(feat_path, logits=object_array(logits))
+        _save_feat_cache(feat_path, logits, model_name)
     return logits

@@ -265,9 +265,9 @@ def ferplus_baselines(cfg: FerPlusConfig, imdb: FerPlusImdb,
                                                   epoch=epoch)
             except FileNotFoundError as exc:
                 raise ValueError(
-                    f"evaluate_only={subset!r}: no trained checkpoint in "
-                    f"{exp_dir} ({exc}) — train first, or evaluate a "
-                    "released model via pretrained_mat") from exc
+                    f"evaluate_only={evaluate_only!r}: no trained "
+                    f"checkpoint in {exp_dir} ({exc}) — train first, or "
+                    "evaluate a released model via pretrained_mat") from exc
         _, stats = trainer.run_epoch(
             state,
             ferplus_batches(imdb, subset, cfg.batch_size,

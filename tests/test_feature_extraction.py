@@ -325,3 +325,56 @@ def test_visual_partial_key_includes_input_size(tmp_path):
     b = VisualFeatureExtractor(Dummy(), {"w": np.zeros(1)}, input_size=112)
     paths = ["x/1.jpg", "x/2.jpg"]
     assert a._job_key(paths) != b._job_key(paths)
+
+
+def test_feat_cache_identity_checks(tmp_path):
+    """The finished feature cache must not be silently returned across
+    models or imdb sizes, and limit= dev runs must never write it."""
+    import pytest
+
+    from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
+    from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
+        compute_audio_feats,
+    )
+
+    imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
+                                tracks_per_speaker=2, seed=0,
+                                duration_range=(1.0, 1.5))
+    p = tmp_path / "feats.npz"
+
+    # limit= runs are never cached
+    out = compute_audio_feats(imdb, model_name="random", limit=2,
+                              feat_path=str(p), verbose=False)
+    assert len(out) == 2 and not p.exists()
+
+    # a full random-baseline run caches with its model identity...
+    full = compute_audio_feats(imdb, model_name="random",
+                               feat_path=str(p), verbose=False)
+    assert len(full) == 4 and p.exists()
+    # ...and a different model must refuse the poisoned cache
+    with pytest.raises(ValueError, match="random"):
+        compute_audio_feats(imdb, model_name="emovoxceleb-student",
+                            feat_path=str(p), verbose=False)
+
+    # same model: cache hit returns the same rows
+    again = compute_audio_feats(imdb, model_name="random",
+                                feat_path=str(p), verbose=False)
+    np.testing.assert_array_equal(np.concatenate(again),
+                                  np.concatenate(full))
+
+    # wrong track count (stale cache for a different imdb) raises
+    bigger = build_synthetic_imdb(tmp_path / "wavs2", num_speakers=2,
+                                  tracks_per_speaker=3, seed=1,
+                                  duration_range=(1.0, 1.5))
+    with pytest.raises(ValueError, match="stale cache"):
+        compute_audio_feats(bigger, model_name="random",
+                            feat_path=str(p), verbose=False)
+
+    # legacy cache (no model_name key) with a mismatched count is
+    # recomputed + rewritten rather than crashing
+    from mcncrossmodalemotions_tpu.data.imdb import object_array
+
+    np.savez_compressed(p, logits=object_array(full[:2]))
+    relegacy = compute_audio_feats(imdb, model_name="random",
+                                   feat_path=str(p), verbose=False)
+    assert len(relegacy) == 4
