@@ -130,8 +130,10 @@ def _stream_rng(seed: int, epoch: int, stream: str) -> np.random.RandomState:
     ``seed*1000 + epoch`` coincide at seed 0 (and at (0, 1000) vs
     (1, 0)), coupling the epoch's permutation to its crop draws.
     """
+    # SeedSequence rejects negative entropy; the legacy seed+epoch scheme
+    # accepted negative seeds, so mask to unsigned instead of crashing.
     ss = np.random.SeedSequence(
-        [seed, epoch, int.from_bytes(stream.encode(), "little")])
+        [seed & 0xFFFFFFFF, epoch, int.from_bytes(stream.encode(), "little")])
     return np.random.RandomState(ss.generate_state(4))
 
 

@@ -288,7 +288,9 @@ def compute_audio_feats(imdb, model=None, variables=None,
     ``limit=`` dev run, which is never cached) cannot be silently
     returned as this run's features.
     """
-    if feat_path and Path(feat_path).exists() and not clobber:
+    # limit= never touches the cache, read OR write: a dev-limited call
+    # must not silently return the full cached track list.
+    if feat_path and Path(feat_path).exists() and not clobber and not limit:
         logits = _load_feat_cache(feat_path, len(imdb.wav_paths),
                                   model_name)
         if logits is not None:

@@ -116,8 +116,18 @@ def student_stats(imdb: EmoVoxImdb,
                                              model_name=model_name,
                                              feat_path=feat_path,
                                              verbose=verbose)
-    scores = np.concatenate([l.reshape(1, -1) if l.ndim == 1 else l[:1]
-                             for l in student_logits])  # [N, C]
+    for i, l in enumerate(student_logits):
+        # Student features are one [1, C] row per track (the reference's
+        # max-pooled track logit, student_stats.m:95-97). Teacher-style
+        # PER-FRAME features would silently score only frame 0 here —
+        # reject them loudly; aggregate upstream (data.emovox
+        # aggregate_logits) before calling.
+        if l.ndim == 2 and l.shape[0] != 1:
+            raise ValueError(
+                f"student_logits[{i}] has {l.shape[0]} rows — expected one "
+                "track-level row per track; per-frame (teacher-style) "
+                "features must be aggregated over frames first")
+    scores = np.concatenate([l.reshape(1, -1) for l in student_logits])  # [N, C]
     scores = softmax_np(scores, temperature=temperature, axis=1)
     labels = teacher_labels(imdb)
     num_classes = scores.shape[1]

@@ -74,7 +74,9 @@ def save_checkpoint(exp_dir: str | Path, epoch: int, state: Any,
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     if metrics is not None:
         mpath = Path(exp_dir) / f"net-epoch-{epoch}.json"
-        mtmp = mpath.with_suffix(".json.tmp")
+        # pid-suffixed like the blob tmp above: concurrent same-epoch
+        # savers must not interleave through one sidecar tmp either
+        mtmp = mpath.with_suffix(f".json.tmp.{os.getpid()}")
         mtmp.write_text(json.dumps(metrics, default=float))
         os.replace(mtmp, mpath)
     return path

@@ -331,17 +331,18 @@ class Trainer:
         # of a profiling session.
         feed_wait = 0.0
         # epochSize as an engine-level cap: a shuffled epoch's first
-        # ceil(epoch_size/batch) batches ARE a random subset, matching
-        # cnn_train_dag's per-epoch subsampling (run_distillation.m:154)
-        # when the batcher doesn't subsample itself. Data-layer
-        # subsampling (EmoVoxBatcher epoch_size) composes: whichever
-        # yields fewer batches binds.
-        max_batches = None
-        if train and self.cfg.epoch_size:
-            max_batches = -(-self.cfg.epoch_size // self.cfg.batch_size)
+        # batches ARE a random subset, matching cnn_train_dag's per-epoch
+        # subsampling (run_distillation.m:154) when the batcher doesn't
+        # subsample itself. Data-layer subsampling (EmoVoxBatcher
+        # epoch_size) composes: whichever yields fewer samples binds.
+        # Counted in VALID samples (not batches x cfg.batch_size): an
+        # iterator yielding off-size batches must still stop at the first
+        # batch that reaches epoch_size, like the uniform-batch ceil did.
+        max_samples = self.cfg.epoch_size if (train and self.cfg.epoch_size) else None
+        samples_done = 0
         feed_iter = iter(self._prefetched(batches))
         try:
-            while max_batches is None or n_batches < max_batches:
+            while max_samples is None or samples_done < max_samples:
                 t_wait = time.monotonic()
                 try:
                     bsz, device_batch = next(feed_iter)
@@ -354,6 +355,7 @@ class Trainer:
                 else:
                     metrics = self._eval_step(state, device_batch)
                 avg.update(metrics, bsz)
+                samples_done += bsz
                 n_batches += 1
                 if n_batches % self.cfg.log_every == 0:
                     # This print syncs (device_get) — log_every trades

@@ -94,6 +94,19 @@ def test_load_crop_shapes_and_determinism(tmp_path, rng):
     assert np.all(s[8000:] == 0)
 
 
+def test_stream_rng_accepts_negative_seed():
+    """SeedSequence raises on negative entropy; the legacy seed+epoch
+    scheme accepted negative seeds, so _stream_rng masks to unsigned
+    instead of crashing the batcher (ADVICE r3)."""
+    from mcncrossmodalemotions_tpu.data.emovox import _stream_rng
+
+    a = _stream_rng(-3, 1, "shuffle").permutation(16)
+    b = _stream_rng(-3, 1, "shuffle").permutation(16)
+    np.testing.assert_array_equal(a, b)  # deterministic
+    c = _stream_rng(-3 & 0xFFFFFFFF, 1, "shuffle").permutation(16)
+    np.testing.assert_array_equal(a, c)  # same stream as the masked seed
+
+
 def test_synthetic_imdb_and_batcher(tmp_path):
     imdb = build_synthetic_imdb(tmp_path / "wavs", num_speakers=2,
                                 tracks_per_speaker=3)

@@ -370,6 +370,12 @@ def test_feat_cache_identity_checks(tmp_path):
         compute_audio_feats(bigger, model_name="random",
                             feat_path=str(p), verbose=False)
 
+    # limit= never READS the cache either (ADVICE r3): a dev-limited call
+    # against the full cache must return `limit` tracks, not all of them
+    limited = compute_audio_feats(imdb, model_name="random", limit=2,
+                                  feat_path=str(p), verbose=False)
+    assert len(limited) == 2
+
     # legacy cache (no model_name key) with a mismatched count is
     # recomputed + rewritten rather than crashing
     from mcncrossmodalemotions_tpu.data.imdb import object_array

@@ -298,6 +298,25 @@ def test_epoch_size_caps_train_batches(tmp_path):
     assert h2[0]["val"]["num_samples"] == 96
 
 
+def test_epoch_size_counts_valid_samples_not_batches(tmp_path):
+    """epoch_size is a SAMPLE budget: an iterator yielding batches whose
+    size differs from cfg.batch_size must still stop at the first batch
+    that reaches epoch_size (ADVICE r3: the old ceil(epoch_size/
+    batch_size) batch count silently under/over-shot)."""
+    data, labels = _make_data(n=96)
+    # cfg says batch 64 but the iterator actually yields batches of 16:
+    # the old batch-count cap would run ceil(40/64)=1 batch (16 samples).
+    cfg = TrainConfig(num_epochs=1, batch_size=64, learning_rate=0.05,
+                      epoch_size=40, exp_dir=str(tmp_path / "exp"),
+                      log_every=1000)
+    trainer = Trainer(TinyNet(), _loss_fn, cfg)
+    fn = _batches(data, labels, batch_size=16)
+    _, history = trainer.fit(
+        fn, example_batch={"data": data[:16], "label": labels[:16]})
+    # 16, 32, 48 >= 40 -> three batches, 48 samples
+    assert history[0]["train"]["num_samples"] == 48
+
+
 def test_trainer_rejects_knobs_alongside_override(tmp_path):
     """rng_names/lr_scale_fn must be baked into a train_step_override by
     its builder; Trainer fails loudly instead of silently ignoring."""
