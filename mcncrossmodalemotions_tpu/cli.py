@@ -491,6 +491,43 @@ def cmd_fetch(argv):
     return rc
 
 
+def cmd_verify_release(argv):
+    """Run the release-verification battery (exp/verify_release.py):
+    artifact fetch/pin -> .mat import + probe forward -> released-logits
+    structure -> FER+ accuracy vs the README table. Exit 0 iff PASS.
+
+    Usage: verify-release [root=PATH] [download=false] [fer_csv=...]
+           [ferplus_csv=...] [tolerance=0.005] [models=a,b,c]
+           [check_logits_imdb=false] [out_root=...]
+    """
+    from mcncrossmodalemotions_tpu.exp.verify_release import (
+        RELEASE_MODELS,
+        verify_release,
+    )
+
+    opts, _ = _opt_dict(argv)
+    kwargs = {}
+    if "models" in opts:
+        kwargs["models"] = tuple(opts["models"].split(","))
+    else:
+        kwargs["models"] = RELEASE_MODELS
+    for key, cast in (("tolerance", float), ("probe_image_size", int),
+                      ("probe_wav_seconds", float),
+                      ("ferplus_batch_size", int),
+                      ("ferplus_input_size", int)):
+        if key in opts:
+            kwargs[key] = cast(opts[key])
+    report = verify_release(
+        artifact_root=opts.get("root"),
+        download=_to_bool(opts.get("download", "true")),
+        check_logits_imdb=_to_bool(opts.get("check_logits_imdb", "true")),
+        fer_csv=opts.get("fer_csv"),
+        ferplus_csv=opts.get("ferplus_csv"),
+        out_root=opts.get("out_root", "exps/verify-release"),
+        **kwargs)
+    return 0 if report["pass"] else 1
+
+
 COMMANDS = {
     "distill": cmd_distill,
     "ferplus": cmd_ferplus,
@@ -505,6 +542,7 @@ COMMANDS = {
     "emo-benchmarks": cmd_emo_benchmarks,
     "bench": cmd_bench,
     "fetch": cmd_fetch,
+    "verify-release": cmd_verify_release,
 }
 
 

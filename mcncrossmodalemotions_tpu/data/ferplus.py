@@ -83,22 +83,138 @@ def vote_distributions(votes: np.ndarray, data_type: str = "CNTK") -> np.ndarray
     return emo / np.maximum(total, 1e-8)
 
 
-def clean_subset(imdb: FerPlusImdb,
+def process_votes_official(votes_row: np.ndarray,
+                           mode: str = "majority") -> np.ndarray:
+    """One image's FERPlus official label processing (Barsoum et al.).
+
+    Implements the published label-cleaning of "Training Deep Networks
+    for Facial Expression Recognition with Crowd-Sourced Label
+    Distribution" (Barsoum, Zhang, Canton Ferrer, Zhang; ICMI 2016,
+    arXiv:1608.01041) as released in the FERPlus repository's
+    ``_process_data``, including its quirks:
+
+    1. **Outlier removal**: zero every count below ``1 + 1% of the
+       remaining total`` — the published loop re-sums *inside* the
+       condition, so zeroing lowers the threshold for later columns
+       (order-dependent in principle; with FER+'s 10-rater integer
+       counts it reduces to "drop single votes").
+    2. Per-mode distribution over the 10 columns (8 emotions + unknown
+       + NF), with all-mass-on-unknown as the discard signal:
+
+       - ``majority``: the top class keeps its count iff it holds a
+         strict majority of the remaining votes; otherwise unknown.
+       - ``probability`` / ``crossentropy``: greedily take top classes
+         until 75 % of the votes are covered or 3 classes are taken;
+         hitting unknown/NF at the top stops the take (and is dropped
+         again if real emotions already lead); if the kept mass is
+         <= 50 % of the votes, or more than 3 classes tied in, the
+         image is unknown.
+       - ``multi_target``: keep every class holding >= 30 % of the
+         votes; unknown unless some class holds >= 50 %.
+
+    Returns the normalised [10] distribution; a result peaking on
+    column 8 (unknown) marks the image for discard (the official readers
+    skip images whose argmax is not a real emotion).
+
+    The reference's 'clean' dataType delegates to mcnDatasets'
+    getFerPlusImdb (external; ferplus_baselines.m:27-29,87-92), which
+    follows these official FERPlus rules — reimplemented here from the
+    paper/public release, not from that repo.
+    """
+    raw = [float(v) for v in votes_row]
+    size = len(raw)
+    unknown = [0.0] * size
+    unknown[-2] = 1.0
+    # (1) outlier removal, published inline-re-sum semantics
+    for i in range(size):
+        if raw[i] < 1.0 + sum(raw) * 0.01:
+            raw[i] = 0.0
+    sum_list = sum(raw)
+    emotion = [0.0] * size
+    if sum_list <= 0:
+        emotion = unknown
+    elif mode == "majority":
+        maxval = max(raw)
+        if maxval > 0.5 * sum_list:
+            emotion[int(np.argmax(raw))] = maxval
+        else:
+            emotion = unknown
+    elif mode in ("probability", "crossentropy"):
+        sum_part, count, valid = 0.0, 0, True
+        while sum_part < 0.75 * sum_list and count < 3 and valid:
+            maxval = max(raw)
+            for i in range(size):
+                if raw[i] == maxval:
+                    emotion[i] = maxval
+                    raw[i] = 0.0
+                    sum_part += maxval
+                    count += 1
+                    if i >= 8:  # unknown/NF tied into the take
+                        valid = False
+                        if sum(emotion) > maxval:  # real emotions lead
+                            emotion[i] = 0.0
+                            count -= 1
+                        break
+        if sum(emotion) <= 0.5 * sum_list or count > 3:
+            emotion = unknown
+    elif mode == "multi_target":
+        threshold = 0.3
+        for i in range(size):
+            if raw[i] >= threshold * sum_list:
+                emotion[i] = raw[i]
+        if max(emotion) < 0.5 * sum_list:
+            emotion = unknown
+    else:
+        raise ValueError(f"unknown FERPlus mode {mode!r}; choose from "
+                         "majority | probability | crossentropy | "
+                         "multi_target")
+    total = sum(emotion)
+    return np.asarray([e / total for e in emotion], np.float32)
+
+
+def official_clean_labels(votes: np.ndarray, mode: str = "majority"):
+    """Vectorised official processing: (distributions [N, 10], keep mask).
+
+    ``keep`` is True where the processed distribution peaks on a real
+    emotion (argmax < 8) — the official readers' skip rule.
+    """
+    dists = np.stack([process_votes_official(row, mode) for row in votes])
+    keep = dists.argmax(axis=1) < 8
+    return dists, keep
+
+
+def clean_subset(imdb: FerPlusImdb, rule: str = "official",
+                 mode: str = "majority",
                  min_consensus: float = 0.5) -> FerPlusImdb:
     """The 'clean' dataType's aggressive filtering (ferplus_baselines.m:
     27-29: "the dataset has been quite aggressively cleaned").
 
-    The reference delegates the cleaning to mcnDatasets' getFerPlusImdb
-    variant (external, not in the repo); this implementation keeps only
-    images with strong rater consensus: the majority EMOTION must hold
-    at least ``min_consensus`` of the TOTAL votes (so heavy NF/unknown
-    mass also disqualifies). An approximation of the unavailable
-    external recipe, stated as such.
+    ``rule='official'`` (default) applies the FERPlus release's
+    published label-cleaning (:func:`process_votes_official`,
+    Barsoum et al. 2016): outlier votes removed, images whose processed
+    label is unknown/NF discarded, and ``hard_labels`` REWRITTEN to the
+    processed majority class (outlier-removed argmax), which can differ
+    from the raw-vote argmax. Raw ``votes`` are kept for the surviving
+    rows so the 'distributions' loss still sees rater mass.
+
+    ``rule='consensus'`` keeps the earlier in-repo approximation as a
+    documented fallback: the majority EMOTION must hold at least
+    ``min_consensus`` of the TOTAL votes (heavy NF/unknown mass also
+    disqualifies); labels are left untouched.
     """
-    emo = imdb.votes[:, :8].astype(np.float64)
-    total = imdb.votes.sum(axis=1)
-    keep = emo.max(axis=1) >= min_consensus * np.maximum(total, 1e-8)
-    return imdb.subset(np.where(keep)[0])
+    if rule == "consensus":
+        emo = imdb.votes[:, :8].astype(np.float64)
+        total = imdb.votes.sum(axis=1)
+        keep = emo.max(axis=1) >= min_consensus * np.maximum(total, 1e-8)
+        return imdb.subset(np.where(keep)[0])
+    if rule != "official":
+        raise ValueError(f"unknown clean rule {rule!r}: "
+                         "official | consensus")
+    dists, keep = official_clean_labels(imdb.votes, mode)
+    idx = np.where(keep)[0]
+    out = imdb.subset(idx)
+    out.hard_labels[:] = dists[idx, :8].argmax(axis=1).astype(np.int32)
+    return out
 
 
 def build_synthetic_ferplus(num_images: int = 120, seed: int = 0,

@@ -26,6 +26,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 def _floor_out(size, kernel, stride):
     """VALID conv/pool output size; works on ints and traced arrays."""
@@ -150,11 +151,21 @@ class VGGMStudent(nn.Module):
         else:  # odd extents: the s2d grid doesn't tile — plain conv
             x = nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID",
                         name="conv1", **conv_kw)(x)
+        x = checkpoint_name(x, "conv1_out")
+        # checkpoint_name tags are identity ops unless the train step
+        # wraps the loss in jax.checkpoint with a names-based policy
+        # (train/state.py resolve_remat_policy); they let remat policies
+        # target the big early activations (relu1 out is 1.17 GB bf16 at
+        # the bs128 train shape) without restructuring the module.
         x = bn_relu(x, "1")
+        x = checkpoint_name(x, "relu1_out")
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = checkpoint_name(x, "pool1_out")
         x = nn.Conv(256, (5, 5), strides=(2, 2), padding="VALID", name="conv2", **conv_kw)(x)
         x = bn_relu(x, "2")
+        x = checkpoint_name(x, "relu2_out")
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = checkpoint_name(x, "pool2_out")
         x = nn.Conv(384, (3, 3), padding="SAME", name="conv3", **conv_kw)(x)
         x = bn_relu(x, "3")
         x = nn.Conv(256, (3, 3), padding="SAME", name="conv4", **conv_kw)(x)
@@ -162,6 +173,7 @@ class VGGMStudent(nn.Module):
         x = nn.Conv(256, (3, 3), padding="SAME", name="conv5", **conv_kw)(x)
         x = bn_relu(x, "5")
         x = nn.max_pool(x, (5, 3), strides=(3, 2), padding="VALID")
+        x = checkpoint_name(x, "pool5_out")
 
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -170,6 +182,7 @@ class VGGMStudent(nn.Module):
         x = nn.Conv(self.fc6_features, (x.shape[1], 1), padding="VALID",
                     name="fc6", **conv_kw)(x)
         x = bn_relu(x, "6")
+        x = checkpoint_name(x, "fc6_out")
 
         # pool6: masked temporal mean (replaces per-bucket poolSize surgery)
         x = x.astype(jnp.float32)

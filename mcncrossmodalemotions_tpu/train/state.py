@@ -103,11 +103,50 @@ def apply_sgd_update(state: TrainState, grads: Any, lr,
     return params, velocity
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Map a remat-policy name to a ``jax.checkpoint`` policy (or None).
+
+    The student model tags its block outputs with ``checkpoint_name``
+    (models/vggm.py) so name-based policies can drop specific
+    activations; policies here trade recompute FLOPs (MXU idle at 35%
+    MFU) for HBM bytes (the step's binding resource — docs/PERF.md
+    round-4 frontend study, round-5 remat study).
+
+    - ``none``/None: no remat (save-everything default).
+    - ``drop_conv1``: recompute the conv1+bn1+relu1 block in the
+      backward instead of storing its two ~1.17 GB bf16 outputs.
+    - ``drop_through_pool1``: additionally drop pool1's output.
+    - ``save_pools``: keep ONLY the tagged pool/fc6 outputs; every
+      untagged intermediate is recomputed.
+    - ``dots``: jax's dots_with_no_batch_dims_saveable (matmul outputs
+      kept; convs recomputed).
+    - ``nothing``: full remat (classic sqrt-memory checkpointing).
+    """
+    if name is None or name == "none":
+        return None
+    cp = jax.checkpoint_policies
+    policies = {
+        "drop_conv1": cp.save_anything_except_these_names(
+            "conv1_out", "relu1_out"),
+        "drop_through_pool1": cp.save_anything_except_these_names(
+            "conv1_out", "relu1_out", "pool1_out"),
+        "save_pools": cp.save_only_these_names(
+            "pool1_out", "pool2_out", "pool5_out", "fc6_out"),
+        "dots": cp.dots_with_no_batch_dims_saveable,
+        "nothing": cp.nothing_saveable,
+    }
+    if name not in policies:
+        raise ValueError(f"unknown remat policy {name!r}; "
+                         f"choose from {['none', *policies]}")
+    return policies[name]
+
+
 def make_train_step(apply_fn: Callable, loss_fn: LossFn,
                     sgd: SGDConfig = SGDConfig(),
                     has_batch_stats: bool = True,
                     rng_names: Tuple[str, ...] = (),
-                    lr_scale_fn: Optional[Callable] = None):
+                    lr_scale_fn: Optional[Callable] = None,
+                    remat_policy: Optional[str] = None):
     """Build the jitted SGD+momentum train step.
 
     ``apply_fn(variables, data, train=..., mutable=..., rngs=...)`` is a
@@ -117,7 +156,13 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
     ``step(state, batch, lr) -> (state, metrics)``; ``lr`` is a scalar so
     per-epoch LR arrays (run_distillation.m:82 ``logspace(-4,-5,300)``)
     need no recompilation.
+
+    ``remat_policy`` (see :func:`resolve_remat_policy`) wraps the loss
+    computation in ``jax.checkpoint`` so the backward recomputes rather
+    than stores the selected activations — numerically identical (same
+    deterministic ops re-run), measured on-chip in docs/PERF.md.
     """
+    policy = resolve_remat_policy(remat_policy)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], lr) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
@@ -146,8 +191,10 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
             loss, metrics = loss_fn(outputs, batch)
             return loss, (metrics, new_model_state)
 
+        fn = compute if policy is None else jax.checkpoint(
+            compute, policy=policy)
         (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
-            compute, has_aux=True
+            fn, has_aux=True
         )(state.params)
 
         params, velocity = apply_sgd_update(state, grads, lr, sgd,

