@@ -62,6 +62,11 @@ class TrainConfig:
     # reference's `keyboard` debugger drop (getBatchEmoVoxCeleb.m:189-192).
     profile_dir: Optional[str] = None
     nan_check: bool = True
+    # jax.checkpoint/remat policy for the train step (state.py
+    # resolve_remat_policy). Default None: measured SLOWER in every
+    # variant on the HBM-bound student step (docs/PERF.md round-5 remat
+    # study) — an opt-in capacity lever for much larger models/batches.
+    remat_policy: Optional[str] = None
 
 
 def lr_for_epoch(cfg: TrainConfig, epoch: int) -> float:
@@ -159,7 +164,8 @@ class Trainer:
             self._train_step = make_train_step(model.apply, loss_fn, sgd,
                                                has_batch_stats=has_bs,
                                                rng_names=tuple(rng_names),
-                                               lr_scale_fn=lr_scale_fn)
+                                               lr_scale_fn=lr_scale_fn,
+                                               remat_policy=cfg.remat_policy)
         self._eval_step = make_eval_step(model.apply, eval_loss_fn or loss_fn)
         if mesh is not None:
             from mcncrossmodalemotions_tpu.parallel.mesh import (

@@ -317,6 +317,50 @@ def test_epoch_size_counts_valid_samples_not_batches(tmp_path):
     assert history[0]["train"]["num_samples"] == 48
 
 
+def test_remat_policies_numerics():
+    """Every remat policy must be numerically IDENTICAL to the baseline
+    step (remat re-runs the same deterministic ops; docs/PERF.md round-5
+    remat study measured all of them slower on-chip, so they ship as
+    opt-in capacity levers only — but a policy that changed numerics
+    would be a bug, not a lever)."""
+    import jax
+
+    from mcncrossmodalemotions_tpu.models import VGGMStudent
+    from mcncrossmodalemotions_tpu.train.state import (
+        SGDConfig,
+        TrainState,
+        make_train_step,
+        resolve_remat_policy,
+    )
+    from mcncrossmodalemotions_tpu.zoo import student_loss_fn
+
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        resolve_remat_policy("nope")
+    assert resolve_remat_policy(None) is None
+
+    model = VGGMStudent(fc6_features=32, fc7_features=16)
+    rng = np.random.RandomState(0)
+    batch = {"data": jnp.asarray(rng.randn(2, 512, 100, 1), jnp.float32),
+             "logit_target": jnp.asarray(rng.randn(2, 8), jnp.float32),
+             "max_label": jnp.asarray(rng.randint(0, 8, 2))}
+    variables = model.init(jax.random.PRNGKey(0), batch["data"][:1])
+    loss_fn = student_loss_fn("hot-cross-ent")
+    base = None
+    for pol in (None, "drop_conv1", "save_pools", "nothing"):
+        state = TrainState.create(variables, jax.random.PRNGKey(1))
+        step = jax.jit(make_train_step(model.apply, loss_fn,
+                                       SGDConfig(weight_decay=0.0),
+                                       remat_policy=pol))
+        s2, m = step(state, batch, 1e-3)
+        leaves = np.concatenate([np.ravel(jax.device_get(x))
+                                 for x in jax.tree.leaves(s2.params)])
+        if base is None:
+            base = (float(m["loss"]), leaves)
+        else:
+            assert float(m["loss"]) == base[0]
+            np.testing.assert_array_equal(leaves, base[1])
+
+
 def test_trainer_rejects_knobs_alongside_override(tmp_path):
     """rng_names/lr_scale_fn must be baked into a train_step_override by
     its builder; Trainer fails loudly instead of silently ignoring."""
