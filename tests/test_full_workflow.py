@@ -144,13 +144,20 @@ def test_distillation_convergence_regression(tmp_path):
 
     Recipe sizing (round-3 probes, /tmp-style A/B runs): 48 tracks /
     12 epochs / bs8 = 72 SGD steps at LR 0.1->0.03 with 2 s crops and
-    logit_gap=8 soft targets. Measured seed-0 headroom: unheardVal
-    meanAuc 1.00, final train loss 1.46 (from the 2.079 ln-8 start
-    against a ~0.6-nat target-entropy floor); seeds 1-3 re-rolls gave
-    AUC 0.74-0.90 / loss 1.39-1.76 — the loss assertion below is the
-    luck-proof signal; smaller recipes (24 tracks / 10 epochs / 4 s
-    crops / logit_gap=4) sat at loss ~2.06 where the AUC outcome
+    logit_gap=8 soft targets. Smaller recipes (24 tracks / 10 epochs /
+    4 s crops / logit_gap=4) sat at loss ~2.06 where the AUC outcome
     flipped between 0.15 and 0.77 on a pure RNG-stream re-roll.
+
+    Margin characterisation (round-4 seed sweep, tools/
+    sweep_convergence.py, 12 training seeds with the imdb pinned at
+    its CI seed — exactly what an innocuous batcher RNG-stream change
+    re-rolls): unheardVal meanAuc in {0.857 x6, 0.917 x1, 1.000 x5},
+    worst seed 0.857 -> margin 0.157 over the 0.7 gate; final train
+    loss in [1.286, 1.578], worst seed 1.578 -> margin 0.32 over the
+    1.9 gate (from the 2.079 ln-8 start against a ~0.6-nat
+    target-entropy floor). Both gates clear on every seed by a
+    structural margin, so a CI flip indicates a real regression, not
+    RNG luck. Raw sweep rows: tools/sweep_convergence.py docstring.
     """
     from mcncrossmodalemotions_tpu.data.emovox import build_synthetic_imdb
     from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
