@@ -300,6 +300,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
             num_classes=cfg.num_pred_emotions,
             sgd=SGDConfig(weight_decay=cfg.weight_decay),
             rng_names=("dropout",) if cfg.dropout > 0 else (),
+            pass_pad_mask=True,  # AudioStudentPipeline: exact BN stats
         )
     trainer = Trainer(model, loss_fn, tcfg,
                       class_names=EMOTIONS[: cfg.num_pred_emotions],

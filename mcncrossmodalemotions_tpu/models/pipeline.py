@@ -60,7 +60,9 @@ class AudioStudentPipeline(nn.Module):
         return jax.lax.stop_gradient(feats)
 
     def __call__(self, x: jax.Array, train: bool = False,
-                 valid_frames=None, return_embedding: bool = False):
+                 valid_frames=None, return_embedding: bool = False,
+                 pad_mask=None):
         feats = self.frontend(x, valid_frames=valid_frames)
         return self.net(feats, train=train, valid_frames=valid_frames,
-                        return_embedding=return_embedding)
+                        return_embedding=return_embedding,
+                        pad_mask=pad_mask)

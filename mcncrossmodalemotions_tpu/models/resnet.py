@@ -56,13 +56,15 @@ class Bottleneck(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 bn_mask: jax.Array | None = None) -> jax.Array:
         conv_kw = dict(use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype)
 
         def bn(h, name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype,
-                                param_dtype=self.param_dtype, name=name)(h)
+                                param_dtype=self.param_dtype,
+                                name=name)(h, mask=bn_mask)
 
         residual = x
         # Downsampling stride sits on the FIRST 1x1 (the Caffe
@@ -119,14 +121,19 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 return_embedding: bool = False):
+                 return_embedding: bool = False,
+                 pad_mask: jax.Array | None = None):
         x = x.astype(self.dtype)
+        # see models/vggm.py: exact BN stats over valid rows of a ragged
+        # mesh-padded batch (pad_mask 1 = real sample, 0 = padding)
+        bn_mask = (None if pad_mask is None
+                   else (pad_mask > 0).reshape((-1, 1, 1, 1)))
         x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="bn1")(x)
+                         name="bn1")(x, mask=bn_mask)
         x = nn.relu(x)
         # Caffe pad-0 CEIL-mode pool (the released teachers' geometry):
         # windows start at row/col 0 with a one-pixel bottom/right pad
@@ -146,7 +153,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"layer{stage + 1}_{block}",
-                )(x, train=train)
+                )(x, train=train, bn_mask=bn_mask)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global average pool
         embedding = x
         if self.dropout_rate > 0:

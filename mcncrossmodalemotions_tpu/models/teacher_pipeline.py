@@ -49,7 +49,8 @@ class FaceTeacherPipeline(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 return_embedding: bool = False):
+                 return_embedding: bool = False,
+                 pad_mask: jax.Array | None = None):
         b = x.shape[0]
         x = x.astype(jnp.float32)
         if train and self.augment:
@@ -62,4 +63,5 @@ class FaceTeacherPipeline(nn.Module):
             x = resize_separable(x, self.input_size, self.input_size)
         x = jnp.repeat(x, 3, axis=-1)  # grayscale -> 3 channels
         x = x - jnp.asarray(self.mean_rgb, jnp.float32)[None, None, None, :]
-        return self.teacher(x, train=train, return_embedding=return_embedding)
+        return self.teacher(x, train=train, return_embedding=return_embedding,
+                            pad_mask=pad_mask)

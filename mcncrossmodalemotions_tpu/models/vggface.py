@@ -51,16 +51,21 @@ class VGGFace(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 return_embedding: bool = False):
+                 return_embedding: bool = False,
+                 pad_mask: jax.Array | None = None):
         conv_kw = dict(use_bias=not self.use_batchnorm, dtype=self.dtype,
                        param_dtype=self.param_dtype)
+        # see models/vggm.py: exact BN stats over valid rows of a ragged
+        # mesh-padded batch (pad_mask 1 = real sample, 0 = padding)
+        bn_mask = (None if pad_mask is None
+                   else (pad_mask > 0).reshape((-1, 1, 1, 1)))
 
         def bn_relu(h, name):
             if self.use_batchnorm:
                 h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 name=f"bn_{name}")(h)
+                                 name=f"bn_{name}")(h, mask=bn_mask)
             return nn.relu(h)
 
         x = x.astype(self.dtype)

@@ -123,13 +123,20 @@ class VGGMStudent(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  valid_frames: Optional[jax.Array] = None,
-                 return_embedding: bool = False):
+                 return_embedding: bool = False,
+                 pad_mask: Optional[jax.Array] = None):
         conv_kw = dict(
             use_bias=not self.use_batchnorm,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         x = x.astype(self.dtype)
+        # [B] pad_mask (1 = real row, 0 = mesh-padding duplicate) makes
+        # train-mode BN statistics EXACT over the valid rows of a ragged
+        # padded batch — matching the reference engine, which simply ran
+        # the smaller final batch (cnn_train_dag's getBatch loop).
+        bn_mask = (None if pad_mask is None
+                   else (pad_mask > 0).reshape((-1, 1, 1, 1)))
 
         def bn_relu(h, name):
             if self.use_batchnorm:
@@ -139,7 +146,7 @@ class VGGMStudent(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"bn{name}",
-                )(h)
+                )(h, mask=bn_mask)
             return nn.relu(h)
 
         # conv1 .. conv5 with interleaved max-pools (VGGVox VGG-M stack)

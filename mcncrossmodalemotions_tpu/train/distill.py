@@ -48,11 +48,14 @@ def make_online_distill_step(student_apply: Callable,
                              aggregator: str = "max",
                              num_classes: int = 8,
                              sgd: SGDConfig = SGDConfig(weight_decay=0.0),
-                             rng_names: Tuple[str, ...] = ()):
+                             rng_names: Tuple[str, ...] = (),
+                             pass_pad_mask: bool = False):
     """Fused step: batch = {'data': [B, N] waveforms,
     'frames': [B, K, H, W, 1] face frames}. Teacher is frozen (its
     variables are closed over and receive no gradient); targets are
     computed in-graph and fed to the standard student loss stack.
+    ``pass_pad_mask`` as in :func:`make_train_step` (exact BN stats on
+    ragged padded batches; the student model must accept the kwarg).
     """
     loss_fn = student_loss_fn(loss_type, temperature=temperature,
                               num_classes=num_classes)
@@ -62,7 +65,8 @@ def make_online_distill_step(student_apply: Callable,
     # step cannot diverge from the fused step.
     inner_step = make_train_step(student_apply, loss_fn, sgd,
                                  has_batch_stats=True,
-                                 rng_names=tuple(rng_names))
+                                 rng_names=tuple(rng_names),
+                                 pass_pad_mask=pass_pad_mask)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], lr):
         frames = batch["frames"]

@@ -161,11 +161,22 @@ class Trainer:
                     "(e.g. make_online_distill_step), not to Trainer")
             self._train_step = train_step_override
         else:
+            # Models that accept pad_mask get exact BN statistics on
+            # ragged mesh-padded batches (models/vggm.py); detected by
+            # signature so toy/test models without the kwarg still work.
+            import inspect
+
+            try:
+                accepts_mask = "pad_mask" in inspect.signature(
+                    type(model).__call__).parameters
+            except (TypeError, ValueError):
+                accepts_mask = False
             self._train_step = make_train_step(model.apply, loss_fn, sgd,
                                                has_batch_stats=has_bs,
                                                rng_names=tuple(rng_names),
                                                lr_scale_fn=lr_scale_fn,
-                                               remat_policy=cfg.remat_policy)
+                                               remat_policy=cfg.remat_policy,
+                                               pass_pad_mask=accepts_mask)
         self._eval_step = make_eval_step(model.apply, eval_loss_fn or loss_fn)
         if mesh is not None:
             from mcncrossmodalemotions_tpu.parallel.mesh import (
@@ -203,8 +214,10 @@ class Trainer:
         padded rows EXACTLY (losses._wmean / per_class_stats), and the
         returned count is the VALID sample count. The mask is attached
         unconditionally to keep one jit signature for full and ragged
-        batches. (Padded rows still enter BN batch stats — bounded by
-        <= num_devices-1 duplicated rows on one batch per epoch.)
+        batches. Models that accept a ``pad_mask`` kwarg (all zoo
+        models) also exclude padded rows from train-mode BatchNorm
+        statistics (masked BN, models/vggm.py), so a ragged tail batch
+        trains exactly as the reference's smaller final batch did.
         """
         bsz = int(np.shape(batch["data"])[0])
         n_valid = (int(np.sum(batch["pad_mask"])) if "pad_mask" in batch

@@ -146,7 +146,8 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
                     has_batch_stats: bool = True,
                     rng_names: Tuple[str, ...] = (),
                     lr_scale_fn: Optional[Callable] = None,
-                    remat_policy: Optional[str] = None):
+                    remat_policy: Optional[str] = None,
+                    pass_pad_mask: bool = False):
     """Build the jitted SGD+momentum train step.
 
     ``apply_fn(variables, data, train=..., mutable=..., rngs=...)`` is a
@@ -161,6 +162,11 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
     computation in ``jax.checkpoint`` so the backward recomputes rather
     than stores the selected activations — numerically identical (same
     deterministic ops re-run), measured on-chip in docs/PERF.md.
+
+    ``pass_pad_mask`` forwards ``batch['pad_mask']`` (when present) to
+    the model so train-mode BatchNorm statistics exclude mesh-padding
+    rows exactly (models/vggm.py) — the caller must guarantee the model
+    accepts a ``pad_mask`` kwarg (Trainer auto-detects via signature).
     """
     policy = resolve_remat_policy(remat_policy)
 
@@ -170,6 +176,8 @@ def make_train_step(apply_fn: Callable, loss_fn: LossFn,
         if rng_names:
             keys = jax.random.split(step_rng, len(rng_names))
             apply_kwargs["rngs"] = dict(zip(rng_names, keys))
+        if pass_pad_mask and "pad_mask" in batch:
+            apply_kwargs["pad_mask"] = batch["pad_mask"]
 
         def compute(params):
             if has_batch_stats:

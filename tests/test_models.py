@@ -102,6 +102,62 @@ def test_se_block_gating(tiny_resnet):
     assert np.all(np.abs(np.asarray(y)) <= 1.0 + 1e-6)
 
 
+def _masked_bn_case(model, variables, x_valid, pad_rows=3, **apply_kw):
+    """Shared masked-BN assertion: train-mode batch_stats from a padded
+    batch + pad_mask must equal the stats from the valid rows alone
+    (the reference engine simply ran the smaller final batch), while the
+    UNMASKED padded batch must differ (the contamination being removed).
+
+    Tolerance note: the masked stats are exact in the f32 reduction, but
+    each BN's *output* is bf16; a 1-ulp flip there cascades through the
+    later convs, so deep-layer stats agree to bf16 resolution (~0.5%
+    rel / 7e-4 abs measured), while unmasked contamination is 50x that
+    (0.037 abs / >100% rel measured) — the tolerances sit between.
+    """
+    x_pad = np.concatenate([x_valid, np.repeat(x_valid[-1:], pad_rows, 0)])
+    mask = np.zeros(len(x_pad), np.float32)
+    mask[: len(x_valid)] = 1.0
+    _, ref = model.apply(variables, jnp.asarray(x_valid), train=True,
+                         mutable=["batch_stats"], **apply_kw)
+    _, masked = model.apply(variables, jnp.asarray(x_pad), train=True,
+                            pad_mask=jnp.asarray(mask),
+                            mutable=["batch_stats"], **apply_kw)
+    _, unmasked = model.apply(variables, jnp.asarray(x_pad), train=True,
+                              mutable=["batch_stats"], **apply_kw)
+    ref_l = jax.tree.leaves(ref["batch_stats"])
+    masked_l = jax.tree.leaves(masked["batch_stats"])
+    unmasked_l = jax.tree.leaves(unmasked["batch_stats"])
+    tol = dict(atol=2e-3, rtol=2e-2)
+    for r, m in zip(ref_l, masked_l):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(m), **tol)
+    assert any(not np.allclose(np.asarray(r), np.asarray(u), **tol)
+               for r, u in zip(ref_l, unmasked_l))
+
+
+def test_student_masked_bn_excludes_padded_rows(student):
+    """pad_mask makes VGGMStudent's train-mode BN stats exact over the
+    valid rows of a ragged mesh-padded batch (train/engine._to_device)."""
+    model, variables = student
+    x = np.random.RandomState(3).randn(5, 512, 100, 1).astype(np.float32)
+    _masked_bn_case(model, variables, x)
+
+
+def test_resnet_masked_bn_excludes_padded_rows(tiny_resnet):
+    model, variables = tiny_resnet
+    x = np.random.RandomState(4).randn(5, 64, 64, 3).astype(np.float32)
+    _masked_bn_case(model, variables, x)
+
+
+def test_vggface_masked_bn_excludes_padded_rows():
+    from mcncrossmodalemotions_tpu.models.vggface import VGGFace
+
+    model = VGGFace(arch="m", use_batchnorm=True, width_multiplier=1 / 16,
+                    fc_features=64)
+    x = np.random.RandomState(5).randn(5, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    _masked_bn_case(model, variables, x)
+
+
 def test_embedding_output(student):
     model, variables = student
     logits, emb = model.apply(

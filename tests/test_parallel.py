@@ -211,6 +211,53 @@ def test_ragged_batch_metrics_exact_vs_single_device():
                                results[0]["classerror"], atol=1e-6)
 
 
+def test_ragged_batch_bn_stats_exact_vs_single_device():
+    """TRAIN-mode ragged batch under a mesh: masked BatchNorm must keep
+    batch_stats equal to the single-device run over the same 21 valid
+    samples (models/vggm.py pad_mask; before round 4 the padded
+    duplicate rows entered BN statistics — the one documented
+    inexactness of ragged mesh batches). Tolerances are bf16-activation
+    resolution, as in tests/test_models.py::_masked_bn_case."""
+    from mcncrossmodalemotions_tpu.losses import class_error, softmax_ce
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+    from mcncrossmodalemotions_tpu.zoo import build_student
+
+    def loss_fn(logits, batch):
+        w = batch.get("pad_mask")
+        return (softmax_ce(logits, batch["label"], sample_weight=w),
+                {"classerror": class_error(logits, batch["label"],
+                                           sample_weight=w)})
+
+    rng = np.random.RandomState(11)
+    data16 = rng.randn(16, 512, 100, 1).astype(np.float32)
+    label16 = rng.randint(0, 8, 16)
+    data5 = rng.randn(5, 512, 100, 1).astype(np.float32)
+    label5 = rng.randint(0, 8, 5)
+
+    def batches(epoch):
+        yield {"data": data16, "label": label16}
+        yield {"data": data5, "label": label5}  # 5 % 8 != 0 -> padded
+
+    states = []
+    for mesh in (None, make_mesh()):
+        trainer = Trainer(
+            build_student(tiny=True, with_frontend=False), loss_fn,
+            TrainConfig(num_epochs=1, learning_rate=0.1, weight_decay=0.0,
+                        log_every=1000, resume=False,
+                        exp_dir=f"/tmp/ragged_bn_{mesh is not None}"),
+            mesh=mesh)
+        state = trainer.init_state({"data": data16[:2]})
+        state, stats = trainer.run_epoch(state, batches(1), epoch=1,
+                                         train=True)
+        assert stats["num_samples"] == 21
+        states.append(jax.device_get(
+            {"params": state.params,
+             "batch_stats": state.model_state["batch_stats"]}))
+    for a, b in zip(jax.tree.leaves(states[0]), jax.tree.leaves(states[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-2)
+
+
 def test_mesh_equals_single_device_real_student_multistep():
     """3 training steps of the REAL (tiny) waveform->student pipeline:
     mesh-sharded and single-device runs must produce equal params
