@@ -189,9 +189,14 @@ def _e2e_epoch_worker(emit_mulaw: bool) -> dict:
                                          ep, True)
         if best is None or stats["samples_per_sec"] > best["samples_per_sec"]:
             best = stats
+    # bytes the host must ship per utterance for THIS feed format (the
+    # denominator that makes the metric comparable across tunnel health)
+    feed_bytes = sum(np.asarray(leaf).nbytes
+                     for leaf in __import__("jax").tree.leaves(example))
     return {"utts_per_sec": round(best["samples_per_sec"], 2),
             "num_samples": best["num_samples"],
-            "feed_bound_frac": best.get("feed_bound_frac")}
+            "feed_bound_frac": best.get("feed_bound_frac"),
+            "feed_bytes_per_utt": int(feed_bytes / cfg.batch_size)}
 
 
 def bench_end_to_end_epoch(details: dict):
@@ -227,6 +232,9 @@ def bench_end_to_end_epoch(details: dict):
         details[f"end_to_end_epoch_utts_per_sec{tag}"] = res["utts_per_sec"]
         details[f"end_to_end_epoch_samples{tag}"] = res["num_samples"]
         details[f"end_to_end_feed_bound_frac{tag}"] = res["feed_bound_frac"]
+        if "feed_bytes_per_utt" in res:
+            details[f"end_to_end_feed_bytes_per_utt{tag}"] = (
+                res["feed_bytes_per_utt"])
         if out is None:
             out = res["utts_per_sec"]
     return out
@@ -376,6 +384,8 @@ def bench_dense_inference(details: dict):
     sec = time.perf_counter() - t0
     assert logits.shape == (n_frames, 8) and np.isfinite(logits).all()
     details["dense_inference_e2e_imgs_per_sec"] = round(n_frames / sec, 2)
+    # uint8 grayscale faces: input_size^2 bytes each over the host link
+    details["dense_inference_bytes_per_img"] = extractor.input_size ** 2
 
 
 def bench_audio_feats(details: dict):
@@ -409,6 +419,10 @@ def bench_audio_feats(details: dict):
     assert all(o is not None for o in out)
     details["audio_feats_tracks_per_sec"] = round(len(paths) / sec, 2)
     details["audio_feats_batch_size"] = extractor.batch_size
+    # shipped bytes per track: bucket-padded int16 PCM (emit_int16)
+    ship = sum(extractor.spec.crop_samples(extractor._meta(p)[2]) * 2
+               for p in paths)
+    details["audio_feats_bytes_per_track"] = int(ship / len(paths))
 
 
 def bench_frontend(details: dict):
@@ -547,6 +561,32 @@ def bench_link_health(details: dict):
     details["link_put_mb_per_sec"] = round(8.0 / sec, 2)
 
 
+# Metrics whose ceiling is the host->device link, not the pipeline.
+_LINK_BOUND_KEYS = ("end_to_end_epoch_utts_per_sec",
+                    "end_to_end_epoch_utts_per_sec_mulaw8",
+                    "dense_inference_e2e_imgs_per_sec",
+                    "audio_feats_tracks_per_sec")
+
+
+def _link_normalise(details: dict) -> None:
+    """Add `<key>_per_link_mbps` = metric / link_put_mb_per_sec for every
+    link-bound metric measured this run (VERDICT r3 next #7).
+
+    The dev tunnel's health swings ~3x between runs and these metrics
+    swing with it; dividing by the same run's measured link speed makes a
+    REAL pipeline regression mechanically visible in bench_history.jsonl
+    (the normalised number moves) while a bad-tunnel window does not (raw
+    and link drop together, ratio holds). The *_bytes_per_* fields record
+    each metric's shipped payload so the ratio's units are auditable:
+    samples/s per MB/s of link."""
+    link = details.get("link_put_mb_per_sec")
+    if not link:
+        return
+    for key in _LINK_BOUND_KEYS:
+        if key in details:
+            details[f"{key}_per_link_mbps"] = round(details[key] / link, 3)
+
+
 def _append_history(details: dict) -> None:
     """One JSONL row per bench run (committed bench_history.jsonl): the
     audit trail behind the `*_best` ratchets in bench_details.json."""
@@ -617,6 +657,7 @@ def main():
                 fn(details)
             except Exception as exc:
                 _log(f"{name} sub-benchmark failed: {exc}")
+        _link_normalise(details)
         try:
             # merge-update: a default run must not clobber the --full
             # sub-benchmark entries (teacher/fused/dense/audio) recorded
