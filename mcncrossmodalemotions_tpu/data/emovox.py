@@ -131,9 +131,13 @@ def _stream_rng(seed: int, epoch: int, stream: str) -> np.random.RandomState:
     (1, 0)), coupling the epoch's permutation to its crop draws.
     """
     # SeedSequence rejects negative entropy; the legacy seed+epoch scheme
-    # accepted negative seeds, so mask to unsigned instead of crashing.
+    # accepted negative seeds, so map ONLY those into the unsigned range
+    # (64-bit two's complement). Masking unconditionally would alias
+    # previously-distinct seeds >= 2**32 onto colliding RNG streams.
+    if seed < 0:
+        seed &= 0xFFFFFFFFFFFFFFFF
     ss = np.random.SeedSequence(
-        [seed & 0xFFFFFFFF, epoch, int.from_bytes(stream.encode(), "little")])
+        [seed, epoch, int.from_bytes(stream.encode(), "little")])
     return np.random.RandomState(ss.generate_state(4))
 
 

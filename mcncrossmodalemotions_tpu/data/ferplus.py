@@ -153,7 +153,10 @@ def process_votes_official(votes_row: np.ndarray,
                         valid = False
                         if sum(emotion) > maxval:  # real emotions lead
                             emotion[i] = 0.0
-                            count -= 1
+                            # official code rolls back sum_part, NOT
+                            # count — so an eviction at count 4 still
+                            # trips the count>3 discard below
+                            sum_part -= maxval
                         break
         if sum(emotion) <= 0.5 * sum_list or count > 3:
             emotion = unknown

@@ -58,6 +58,10 @@ class DistillationConfig:
     out_root: str = "exps"
     tiny_model: bool = False     # dev pattern
     use_pallas_frontend: bool = False
+    # jax.checkpoint policy for the train step (train/state.py
+    # resolve_remat_policy; measured study in docs/PERF.md round-5).
+    # Honoured in BOTH the plain and the fused online-teacher step.
+    remat_policy: Optional[str] = None
     # fromScratch=false (run_distillation.m:84 via emoVoxZoo.m:25-44):
     # start from the released student weights instead of a fresh init.
     # ``pretrained_student`` is a registry name or .mat path (default:
@@ -249,6 +253,10 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
         seed=cfg.seed,
         exp_dir=str(exp_dir),
         resume=resume,
+        # with an online-teacher override the policy is baked into the
+        # step by make_online_distill_step below; Trainer rejects a
+        # cfg-level policy alongside an override (it could not apply it)
+        remat_policy=None if cfg.online_teacher else cfg.remat_policy,
     )
     pretrained_state = None
     if cfg.from_scratch:
@@ -300,6 +308,7 @@ def run_distillation(cfg: DistillationConfig, imdb: Optional[EmoVoxImdb] = None,
             num_classes=cfg.num_pred_emotions,
             sgd=SGDConfig(weight_decay=cfg.weight_decay),
             rng_names=("dropout",) if cfg.dropout > 0 else (),
+            remat_policy=cfg.remat_policy,
             pass_pad_mask=True,  # AudioStudentPipeline: exact BN stats
         )
     trainer = Trainer(model, loss_fn, tcfg,

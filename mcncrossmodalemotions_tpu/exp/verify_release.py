@@ -83,6 +83,7 @@ def _probe_logit_gate(logits: np.ndarray, what: str) -> Optional[str]:
 
 def _verify_artifacts(names: Sequence[str], root, download: bool) -> dict:
     from mcncrossmodalemotions_tpu.zoo.artifacts import (
+        ArtifactCorrupt,
         ArtifactUnavailable,
         fetch_artifact,
     )
@@ -90,13 +91,21 @@ def _verify_artifacts(names: Sequence[str], root, download: bool) -> dict:
     rows, paths = [], {}
     for name in names:
         try:
-            p = fetch_artifact(name, root=root, download=download)
+            # full_check: re-hash against the pinned sidecar even when
+            # the size matches — this gate exists to catch corruption
+            p = fetch_artifact(name, root=root, download=download,
+                               full_check=True)
             sidecar = p.with_suffix(p.suffix + ".sha256")
             pinned = (sidecar.read_text().split()[0]
                       if sidecar.exists() else None)
             rows.append({"name": name, "status": "ok", "path": str(p),
                          "sha256": pinned})
             paths[name] = p
+        except ArtifactCorrupt as exc:
+            # bytes on disk fail their sha256 pin: a release-integrity
+            # FAILURE, never a benign miss — exactly what this gate is for
+            rows.append({"name": name, "status": "corrupt",
+                         "error": str(exc)})
         except ArtifactUnavailable as exc:
             rows.append({"name": name, "status": "missing",
                          "error": str(exc)})
@@ -104,14 +113,15 @@ def _verify_artifacts(names: Sequence[str], root, download: bool) -> dict:
             rows.append({"name": name, "status": "error",
                          "error": f"{type(exc).__name__}: {exc}"})
     n_ok = sum(r["status"] == "ok" for r in rows)
-    if any(r["status"] == "error" for r in rows):
+    missing = [r["name"] for r in rows if r["status"] == "missing"]
+    if any(r["status"] in ("error", "corrupt") for r in rows):
         status = "fail"
     elif n_ok == 0:
         status = "skip"
     else:
         status = "pass"
-    return _stage(status, rows=rows, available=n_ok, requested=len(names)), \
-        paths
+    return _stage(status, rows=rows, available=n_ok, requested=len(names),
+                  missing=missing), paths
 
 
 def _verify_import_forward(paths: Dict[str, Path], *,
@@ -218,12 +228,19 @@ def _verify_ferplus(fer_csv: Optional[str], ferplus_csv: Optional[str],
         return _stage("skip", reason="FER2013/FER+ csvs not supplied "
                       "(Kaggle-licensed; pass fer_csv=/ferplus_csv=)")
     expected = expected or EXPECTED_ACCURACY
-    models = tuple((name, loss) for name, loss in MODELS
-                   if name in expected)
-    missing = [name for name, _ in models if name not in paths]
-    if missing:
+    # Gate every expected model whose artifact is AVAILABLE; only skip
+    # outright when none are. Requiring the full expected set would let
+    # `models=resnet50-ferplus` silently skip the accuracy gate for the
+    # one model the user asked to verify.
+    candidates = tuple((name, loss) for name, loss in MODELS
+                       if name in expected)
+    models = tuple((name, loss) for name, loss in candidates
+                   if name in paths)
+    missing = [name for name, _ in candidates if name not in paths]
+    if not models:
         return _stage("skip",
                       reason=f"model artifacts unavailable: {missing}")
+    expected = {name: expected[name] for name, _ in models}
     try:
         from mcncrossmodalemotions_tpu.data.ferplus import parse_ferplus_csvs
         from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
@@ -241,7 +258,7 @@ def _verify_ferplus(fer_csv: Optional[str], ferplus_csv: Optional[str],
         report = check_results(results, tolerance, expected=expected)
         return _stage("pass" if report["pass"] else "fail",
                       tolerance=tolerance, rows=report["rows"],
-                      results=results)
+                      results=results, skipped_models=missing)
     except Exception as exc:
         return _stage("fail",
                       problems=[f"{type(exc).__name__}: {exc}"])

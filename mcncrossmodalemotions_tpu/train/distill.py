@@ -49,6 +49,7 @@ def make_online_distill_step(student_apply: Callable,
                              num_classes: int = 8,
                              sgd: SGDConfig = SGDConfig(weight_decay=0.0),
                              rng_names: Tuple[str, ...] = (),
+                             remat_policy: Optional[str] = None,
                              pass_pad_mask: bool = False):
     """Fused step: batch = {'data': [B, N] waveforms,
     'frames': [B, K, H, W, 1] face frames}. Teacher is frozen (its
@@ -66,6 +67,7 @@ def make_online_distill_step(student_apply: Callable,
     inner_step = make_train_step(student_apply, loss_fn, sgd,
                                  has_batch_stats=True,
                                  rng_names=tuple(rng_names),
+                                 remat_policy=remat_policy,
                                  pass_pad_mask=pass_pad_mask)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], lr):

@@ -159,6 +159,11 @@ class Trainer:
                     "train_step_override replaces the built step entirely; "
                     "pass rng_names/lr_scale_fn to the override's builder "
                     "(e.g. make_online_distill_step), not to Trainer")
+            if cfg.remat_policy is not None:
+                raise ValueError(
+                    "cfg.remat_policy cannot be applied to a "
+                    "train_step_override; pass remat_policy to the "
+                    "override's builder (e.g. make_online_distill_step)")
             self._train_step = train_step_override
         else:
             # Models that accept pad_mask get exact BN statistics on

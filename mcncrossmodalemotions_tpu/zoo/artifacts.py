@@ -84,6 +84,16 @@ class ArtifactUnavailable(RuntimeError):
     """Artifact missing locally and not downloadable (offline/denied)."""
 
 
+class ArtifactCorrupt(ArtifactUnavailable):
+    """Artifact present but failing its sha256 pin — NOT a benign miss.
+
+    Subclasses :class:`ArtifactUnavailable` so existing graceful-skip
+    callers still skip, but integrity-sensitive callers (the
+    verify-release gate) can distinguish "offline" from "the bytes on
+    disk are wrong" and fail loudly on the latter.
+    """
+
+
 def cache_root() -> Path:
     """Artifact cache directory (override: MCN_TPU_ARTIFACT_ROOT)."""
     env = os.environ.get("MCN_TPU_ARTIFACT_ROOT")
@@ -130,7 +140,7 @@ def _verify(path: Path, expected: Optional[str],
         if pinned is None:
             digest = _file_sha256(path)
             if expected is not None and digest != expected:
-                raise ArtifactUnavailable(
+                raise ArtifactCorrupt(
                     f"{path}: sha256 mismatch (got {digest}, expected "
                     f"{expected}) — delete the file to re-download")
             sidecar.write_text(f"{digest} {size}\n")
@@ -139,7 +149,7 @@ def _verify(path: Path, expected: Optional[str],
             return  # fast path: size matches the pinned record
         digest = _file_sha256(path)
         if digest != pinned:
-            raise ArtifactUnavailable(
+            raise ArtifactCorrupt(
                 f"{path}: sha256 changed since first download "
                 f"(got {digest}, pinned {pinned}) — the file is corrupt or "
                 "was replaced; delete both to re-download")
@@ -148,19 +158,24 @@ def _verify(path: Path, expected: Optional[str],
         return
     digest = _file_sha256(path)
     if expected is not None and digest != expected:
-        raise ArtifactUnavailable(
+        raise ArtifactCorrupt(
             f"{path}: sha256 mismatch (got {digest}, expected {expected}) — "
             "delete the file to re-download")
     sidecar.write_text(f"{digest} {size}\n")
 
 
 def fetch_artifact(name: str, root: Optional[str | Path] = None,
-                   download: bool = True, timeout: float = 600.0) -> Path:
+                   download: bool = True, timeout: float = 600.0,
+                   full_check: bool = False) -> Path:
     """Return the local path for ``name``, downloading on miss.
 
     ``download=False`` never touches the network (graceful offline mode):
     a missing file raises :class:`ArtifactUnavailable` with the URL and
-    destination so the user can transfer it by hand.
+    destination so the user can transfer it by hand. ``full_check``
+    forces a full re-hash against the pinned sidecar even when the size
+    matches (the verify-release gate uses this — its whole job is
+    catching corruption the fast path would wave through); a mismatch
+    raises :class:`ArtifactCorrupt`.
     """
     if name not in ARTIFACTS:
         raise KeyError(f"unknown artifact {name!r}; known: "
@@ -168,7 +183,7 @@ def fetch_artifact(name: str, root: Optional[str | Path] = None,
     art = ARTIFACTS[name]
     path = artifact_path(name, root)
     if path.exists():
-        _verify(path, art.sha256)
+        _verify(path, art.sha256, full_check=full_check)
         return path
     if not download:
         raise ArtifactUnavailable(

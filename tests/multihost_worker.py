@@ -13,7 +13,12 @@ run_distillation.m:179-181) validated across real process boundaries.
 """
 
 import json
+import pathlib
 import sys
+
+# The worker runs with script dir tests/ on sys.path, not the repo root;
+# without an installed (pip -e) package the import below would fail.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 

@@ -294,9 +294,18 @@ def test_sidecar_fast_path_and_size_change(tmp_path):
     digest, size = sidecar.read_text().split()
     assert int(size) == 10
     # same-size tamper passes the fast path (documented tradeoff) but a
-    # full check catches it
-    from mcncrossmodalemotions_tpu.zoo.artifacts import _verify
+    # full check catches it — and reports it as ArtifactCorrupt, which
+    # integrity gates (verify-release) treat as FAIL, not a benign miss
+    from mcncrossmodalemotions_tpu.zoo.artifacts import (
+        ArtifactCorrupt,
+        _verify,
+    )
     path.write_bytes(b"9876543210")
     fetch_artifact("afew-logits", root=tmp_path, download=False)  # fast path
-    with pytest.raises(ArtifactUnavailable, match="sha256 changed"):
+    with pytest.raises(ArtifactCorrupt, match="sha256 changed"):
         _verify(path, None, full_check=True)
+    with pytest.raises(ArtifactCorrupt, match="sha256 changed"):
+        fetch_artifact("afew-logits", root=tmp_path, download=False,
+                       full_check=True)
+    # graceful-skip callers catching ArtifactUnavailable still skip
+    assert issubclass(ArtifactCorrupt, ArtifactUnavailable)

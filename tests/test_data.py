@@ -96,15 +96,21 @@ def test_load_crop_shapes_and_determinism(tmp_path, rng):
 
 def test_stream_rng_accepts_negative_seed():
     """SeedSequence raises on negative entropy; the legacy seed+epoch
-    scheme accepted negative seeds, so _stream_rng masks to unsigned
-    instead of crashing the batcher (ADVICE r3)."""
+    scheme accepted negative seeds, so _stream_rng maps ONLY negatives
+    into the unsigned 64-bit range instead of crashing the batcher
+    (ADVICE r3). Non-negative seeds pass through untouched so seeds
+    >= 2**32 never alias onto colliding streams."""
     from mcncrossmodalemotions_tpu.data.emovox import _stream_rng
 
     a = _stream_rng(-3, 1, "shuffle").permutation(16)
     b = _stream_rng(-3, 1, "shuffle").permutation(16)
     np.testing.assert_array_equal(a, b)  # deterministic
-    c = _stream_rng(-3 & 0xFFFFFFFF, 1, "shuffle").permutation(16)
-    np.testing.assert_array_equal(a, c)  # same stream as the masked seed
+    c = _stream_rng(-3 & 0xFFFFFFFFFFFFFFFF, 1, "shuffle").permutation(16)
+    np.testing.assert_array_equal(a, c)  # two's-complement mapping
+    # an unconditional 32-bit mask would alias 2**32 with 0
+    big = _stream_rng(2 ** 32, 1, "shuffle").permutation(4096)
+    small = _stream_rng(0, 1, "shuffle").permutation(4096)
+    assert not np.array_equal(big, small)
 
 
 def test_synthetic_imdb_and_batcher(tmp_path):
@@ -202,6 +208,12 @@ def test_ferplus_official_label_rules():
     d = process_votes_official(v(happiness=6, unknown=3, sadness=1),
                                mode="crossentropy")
     assert d.argmax() == 1 and d[8] == 0.0
+    # eviction rolls back sum_part but NOT count (official inline
+    # semantics): a 4-way tie including unknown still reaches count 4
+    # and trips the count>3 discard even after unknown is evicted
+    d = process_votes_official(
+        v(happiness=4, sadness=4, anger=4, unknown=4), mode="crossentropy")
+    assert d.argmax() == 8
     # (4) multi_target: >=30% classes kept, but only if some class >=50%
     d = process_votes_official(v(happiness=5, sadness=4, anger=1),
                                mode="multi_target")

@@ -74,6 +74,44 @@ def test_online_distill_step_runs_and_learns(paired_imdb):
     assert int(jax.device_get(state.step)) == 8
 
 
+def test_online_distill_step_remat_identical(paired_imdb):
+    """A remat policy on the FUSED step (student recompute-in-backward;
+    teacher untouched) must be numerically identical to no policy —
+    remat re-runs the same deterministic ops (run_distillation's
+    remat_policy plumbs here when online_teacher is set)."""
+    from mcncrossmodalemotions_tpu.exp.ferplus_baselines import (
+        FerPlusConfig,
+        build_pipeline,
+    )
+    from mcncrossmodalemotions_tpu.zoo import build_student
+
+    teacher = build_pipeline(FerPlusConfig(tiny_model=True, input_size=32,
+                                           dropout=0.0, augment=False))
+    t_vars = teacher.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 1), jnp.uint8))
+    student = build_student(tiny=True)
+    cfg = BatchConfig(batch_size=2, frames_per_crop=2, frame_size=32)
+    batcher = EmoVoxBatcher(paired_imdb, cfg, train=True, seed=0)
+    batch = next(iter(batcher.batches(epoch=1)))
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    s_vars = student.init(jax.random.PRNGKey(1), device_batch["data"][:1])
+
+    results = []
+    for pol in (None, "drop_conv1", "nothing"):
+        state = TrainState.create(s_vars, jax.random.PRNGKey(2))
+        step = jax.jit(make_online_distill_step(
+            student.apply, teacher.apply, t_vars,
+            sgd=SGDConfig(momentum=0.9, weight_decay=0.0),
+            remat_policy=pol))
+        state, metrics = step(state, device_batch, 0.05)
+        leaves = np.concatenate([np.ravel(jax.device_get(x))
+                                 for x in jax.tree.leaves(state.params)])
+        results.append((float(jax.device_get(metrics["loss"])), leaves))
+    for loss, leaves in results[1:]:
+        assert loss == results[0][0]
+        np.testing.assert_array_equal(leaves, results[0][1])
+
+
 def test_online_targets_match_offline_teacher(paired_imdb):
     """The in-graph teacher targets equal running the teacher separately
     on the same frames (stop-gradient fusion must not change numerics)."""

@@ -368,6 +368,13 @@ def test_trainer_rejects_knobs_alongside_override(tmp_path):
         Trainer(TinyNet(), _loss_fn, TrainConfig(exp_dir=str(tmp_path)),
                 rng_names=("dropout",),
                 train_step_override=lambda s, b, lr: (s, {}))
+    # same for a cfg-level remat policy: the override's builder must
+    # receive it (make_online_distill_step(remat_policy=...))
+    with pytest.raises(ValueError, match="remat_policy"):
+        Trainer(TinyNet(), _loss_fn,
+                TrainConfig(exp_dir=str(tmp_path),
+                            remat_policy="drop_conv1"),
+                train_step_override=lambda s, b, lr: (s, {}))
 
 
 def test_structural_mismatch_raises_not_restarts(tmp_path):

@@ -144,6 +144,29 @@ def test_verify_release_fails_on_corrupt_logits_imdb(release_tree,
                for p in report["stages"]["released_logits"]["problems"])
 
 
+def test_verify_release_fails_on_corrupt_artifact(release_tree, tmp_path):
+    """A same-size byte tamper sails through fetch_artifact's size fast
+    path, but the release gate re-hashes (full_check) and must FAIL with
+    a 'corrupt' row — corruption is never a benign miss here."""
+    from mcncrossmodalemotions_tpu.zoo.artifacts import artifact_path
+
+    # first run pins the sha256 sidecars
+    report = _run(release_tree, tmp_path)
+    assert report["pass"], report
+
+    lpath = artifact_path("emovoxceleb-logits", root=release_tree)
+    blob = bytearray(lpath.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF  # same size, different bytes
+    lpath.write_bytes(bytes(blob))
+
+    report = _run(release_tree, tmp_path)
+    assert not report["pass"]
+    assert "artifacts" in report["failed"]
+    row = [r for r in report["stages"]["artifacts"]["rows"]
+           if r["name"] == "emovoxceleb-logits"][0]
+    assert row["status"] == "corrupt"
+
+
 def test_verify_release_empty_tree_does_not_pass(tmp_path):
     """An offline run with nothing available must not report PASS (all
     stages skipped is not verification)."""
@@ -200,6 +223,39 @@ def test_verify_release_ferplus_gate(release_tree, tmp_path):
                    **common)
     assert report2["pass"], report2["stages"]["ferplus_accuracy"]
     assert "ferplus_accuracy" in report2["executed"]
+
+
+def test_verify_release_ferplus_gate_runs_on_available_subset(
+        release_tree, tmp_path):
+    """When only SOME expected models have artifacts, the accuracy gate
+    runs on the available ones (recording the rest as skipped_models)
+    instead of silently skipping the whole stage."""
+    from mcncrossmodalemotions_tpu.zoo.artifacts import artifact_path
+
+    # remove the resnet50 artifact: senet50 remains available
+    rpath = artifact_path("resnet50-ferplus", root=release_tree)
+    rpath.unlink()
+    rpath.with_suffix(rpath.suffix + ".sha256").unlink(missing_ok=True)
+
+    rng = np.random.RandomState(13)
+    fer_csv, ferplus_csv = _write_fer_csvs(tmp_path, rng)
+    report = _run(
+        release_tree, tmp_path,
+        fer_csv=fer_csv, ferplus_csv=ferplus_csv,
+        check_logits_imdb=False,
+        models=("senet50-ferplus", "resnet50-ferplus"),
+        ferplus_batch_size=8, ferplus_input_size=48,
+        expected_accuracy={
+            "senet50-ferplus": {"valAcc": 0.898, "testAcc": 0.888},
+            "resnet50-ferplus": {"valAcc": 0.879, "testAcc": 0.871}})
+    stage = report["stages"]["ferplus_accuracy"]
+    # the gate RAN (on senet50) rather than skipping outright
+    assert stage["status"] in ("pass", "fail")
+    assert stage["skipped_models"] == ["resnet50-ferplus"]
+    assert list(stage["results"]) == ["senet50-ferplus"]
+    # and the artifacts stage records the miss without failing the run
+    assert report["stages"]["artifacts"]["missing"] == ["resnet50-ferplus"]
+    assert report["stages"]["artifacts"]["status"] == "pass"
 
 
 def test_cli_verify_release(release_tree, tmp_path, capsys):
