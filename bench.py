@@ -587,6 +587,19 @@ def _link_normalise(details: dict) -> None:
             details[f"{key}_per_link_mbps"] = round(details[key] / link, 3)
 
 
+def _ratchet_best(merged: dict, details: dict) -> None:
+    """Keep a best-observed `<key>_best` line per link-bound metric.
+
+    Host-link-bound metrics swing ~2x with the dev tunnel's health
+    (documented in docs/PERF.md); the ratchet keeps an explicit
+    best-observed line next to the latest so a bad-tunnel run doesn't
+    silently erase what the pipeline can do."""
+    for key in _LINK_BOUND_KEYS:
+        if key in details:
+            best = max(merged.get(f"{key}_best", 0.0), details[key])
+            merged[f"{key}_best"] = round(best, 2)
+
+
 def _append_history(details: dict) -> None:
     """One JSONL row per bench run (committed bench_history.jsonl): the
     audit trail behind the `*_best` ratchets in bench_details.json."""
@@ -670,17 +683,7 @@ def main():
                 except ValueError:
                     merged = {}
             merged.update(details)
-            # Host-link-bound metrics swing ~2x with the dev tunnel's
-            # health (documented in docs/PERF.md); keep an explicit
-            # best-observed line next to the latest so a bad-tunnel run
-            # doesn't silently erase what the pipeline can do.
-            for key in ("end_to_end_epoch_utts_per_sec",
-                        "end_to_end_epoch_utts_per_sec_mulaw8",
-                        "dense_inference_e2e_imgs_per_sec",
-                        "audio_feats_tracks_per_sec"):
-                if key in details:
-                    best = max(merged.get(f"{key}_best", 0.0), details[key])
-                    merged[f"{key}_best"] = round(best, 2)
+            _ratchet_best(merged, details)
             out.write_text(json.dumps(merged, indent=2) + "\n")
             _log("details -> bench_details.json: "
                  + json.dumps(details))

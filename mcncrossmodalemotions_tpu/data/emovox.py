@@ -132,8 +132,9 @@ def _stream_rng(seed: int, epoch: int, stream: str) -> np.random.RandomState:
     """
     # SeedSequence rejects negative entropy; the legacy seed+epoch scheme
     # accepted negative seeds, so map ONLY those into the unsigned range
-    # (64-bit two's complement). Masking unconditionally would alias
-    # previously-distinct seeds >= 2**32 onto colliding RNG streams.
+    # (64-bit two's complement). An earlier unconditional 32-bit mask
+    # aliased previously-distinct seeds >= 2**32 onto colliding RNG
+    # streams (pinned non-aliasing: tests/test_data.py, 2**32 vs 0).
     if seed < 0:
         seed &= 0xFFFFFFFFFFFFFFFF
     ss = np.random.SeedSequence(

@@ -122,10 +122,10 @@ def student_stats(imdb: EmoVoxImdb,
         # PER-FRAME features would silently score only frame 0 here —
         # reject them loudly; aggregate upstream (data.emovox
         # aggregate_logits) before calling.
-        if l.ndim == 2 and l.shape[0] != 1:
+        if np.asarray(l).squeeze().ndim > 1:
             raise ValueError(
-                f"student_logits[{i}] has {l.shape[0]} rows — expected one "
-                "track-level row per track; per-frame (teacher-style) "
+                f"student_logits[{i}] is shaped {np.shape(l)} — expected one "
+                "track-level [1, C] row per track; per-frame (teacher-style) "
                 "features must be aggregated over frames first")
     scores = np.concatenate([l.reshape(1, -1) for l in student_logits])  # [N, C]
     scores = softmax_np(scores, temperature=temperature, axis=1)

@@ -24,7 +24,11 @@ pass/fail report:
 
 Stages that lack their inputs (offline, no csvs) SKIP rather than fail;
 the report records why. Overall ``pass`` requires every executed stage
-to pass and at least one stage to have executed.
+to pass, at least one stage to have executed, AND every requested
+artifact to have been present — a gate must not declare the release
+verified over models it never saw (a transiently-failed download is
+reported in ``unverified``; restrict ``models=``/``check_logits_imdb=``
+to gate only what is available on an offline machine).
 
 Wrong or corrupted weights fail stage 2 (degenerate probe logits) or
 stage 4 (accuracy gate) — exercised by tests/test_verify_release.py with
@@ -312,10 +316,15 @@ def verify_release(*,
               "ferplus_accuracy": stage_ferplus}
     executed = [k for k, s in stages.items() if s["status"] != "skip"]
     failed = [k for k, s in stages.items() if s["status"] == "fail"]
+    # A gate must not declare PASS over artifacts it never saw: any
+    # REQUESTED artifact that is missing leaves the release unverified
+    # (verify what you have by restricting models=/check_logits_imdb=).
+    unverified = stage_artifacts.get("missing", [])
     report = {
-        "pass": bool(executed) and not failed,
+        "pass": bool(executed) and not failed and not unverified,
         "executed": executed,
         "failed": failed,
+        "unverified": unverified,
         "skipped": [k for k in stages if k not in executed],
         "stages": stages,
     }
@@ -332,6 +341,9 @@ def verify_release(*,
                 print(f"        [{row.get('status', '?')}] {line}")
             for p in s.get("problems", []) or []:
                 print(f"        ! {p}")
+        if unverified:
+            print(f"        ! requested but missing (unverified): "
+                  f"{', '.join(unverified)}")
         print(f"verify-release: {'PASS' if report['pass'] else 'FAIL'} "
               f"(executed: {', '.join(executed) or 'none'}; "
               f"report: {out / 'verify-release.json'})")

@@ -250,6 +250,11 @@ def test_student_stats_rejects_per_frame_features(emovox_imdb):
                  for lab in labels]
     with pytest.raises(ValueError, match="per-frame"):
         student_stats(emovox_imdb, student_logits=per_frame)
+    # a leading singleton must not smuggle per-frame features past the
+    # guard ([1, T, C] would reshape(1, -1) into T*C fake classes)
+    with pytest.raises(ValueError, match="per-frame"):
+        student_stats(emovox_imdb,
+                      student_logits=[l[None] for l in per_frame])
 
 
 def test_teacher_stats_histogram(emovox_imdb, tmp_path):

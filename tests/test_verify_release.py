@@ -256,6 +256,11 @@ def test_verify_release_ferplus_gate_runs_on_available_subset(
     # and the artifacts stage records the miss without failing the run
     assert report["stages"]["artifacts"]["missing"] == ["resnet50-ferplus"]
     assert report["stages"]["artifacts"]["status"] == "pass"
+    # but the OVERALL verdict must not claim the release verified when a
+    # requested model was never seen (transient download failure must
+    # not exit 0) — the miss is surfaced as `unverified`
+    assert report["unverified"] == ["resnet50-ferplus"]
+    assert not report["pass"]
 
 
 def test_cli_verify_release(release_tree, tmp_path, capsys):
