@@ -122,7 +122,11 @@ def student_stats(imdb: EmoVoxImdb,
         # PER-FRAME features would silently score only frame 0 here —
         # reject them loudly; aggregate upstream (data.emovox
         # aggregate_logits) before calling.
-        if np.asarray(l).squeeze().ndim > 1:
+        arr = np.asarray(l)
+        # Two escapes the squeeze alone would miss: [T, 1] squeezes to 1-D
+        # but reshape(1, -1) would fabricate T classes from one; require
+        # the whole array to be exactly one row of last-axis classes.
+        if arr.squeeze().ndim > 1 or arr.size != arr.shape[-1]:
             raise ValueError(
                 f"student_logits[{i}] is shaped {np.shape(l)} — expected one "
                 "track-level [1, C] row per track; per-frame (teacher-style) "

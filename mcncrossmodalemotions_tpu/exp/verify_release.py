@@ -342,7 +342,9 @@ def verify_release(*,
             for p in s.get("problems", []) or []:
                 print(f"        ! {p}")
         if unverified:
-            print(f"        ! requested but missing (unverified): "
+            # Unindented: this is a summary-level fact (it forces FAIL),
+            # not a row of the last stage printed above.
+            print(f"verify-release: requested but missing (unverified): "
                   f"{', '.join(unverified)}")
         print(f"verify-release: {'PASS' if report['pass'] else 'FAIL'} "
               f"(executed: {', '.join(executed) or 'none'}; "

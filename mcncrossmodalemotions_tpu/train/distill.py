@@ -18,7 +18,7 @@ the K frames sampled from the crop window are reduced by max/mean
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -48,12 +48,19 @@ def test_link_bound_keys_all_ratcheted():
     _LINK_BOUND_KEYS directly, so the lists cannot drift)."""
     bench = _load_bench()
     assert len(bench._LINK_BOUND_KEYS) >= 4
+    # Seed the ratcheted key explicitly (not positionally from
+    # _LINK_BOUND_KEYS) so the downward-ratchet assertion can never go
+    # vacuous if the key list is reordered.
+    assert "end_to_end_epoch_utts_per_sec" in bench._LINK_BOUND_KEYS
+    other = next(k for k in bench._LINK_BOUND_KEYS
+                 if k != "end_to_end_epoch_utts_per_sec")
     merged = {"end_to_end_epoch_utts_per_sec_best": 300.0}
-    details = {key: 250.0 for key in bench._LINK_BOUND_KEYS[:2]}
+    details = {"end_to_end_epoch_utts_per_sec": 250.0, other: 250.0}
     bench._ratchet_best(merged, details)
     # existing higher best survives a worse run; new metric gets a line
     assert merged["end_to_end_epoch_utts_per_sec_best"] == 300.0
-    assert merged[f"{bench._LINK_BOUND_KEYS[1]}_best"] == 250.0
+    assert merged[f"{other}_best"] == 250.0
     # unmeasured metrics get no spurious ratchet
     assert all(f"{k}_best" not in merged
-               for k in bench._LINK_BOUND_KEYS[2:])
+               for k in bench._LINK_BOUND_KEYS
+               if k not in details)

@@ -255,6 +255,11 @@ def test_student_stats_rejects_per_frame_features(emovox_imdb):
     with pytest.raises(ValueError, match="per-frame"):
         student_stats(emovox_imdb,
                       student_logits=[l[None] for l in per_frame])
+    # [T, 1] squeezes to 1-D but reshape(1, -1) would fabricate T classes
+    # from a single-class column (round-4 ADVICE): must also raise
+    with pytest.raises(ValueError, match="per-frame"):
+        student_stats(emovox_imdb,
+                      student_logits=[l[:, :1] for l in per_frame])
 
 
 def test_teacher_stats_histogram(emovox_imdb, tmp_path):
