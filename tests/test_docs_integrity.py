@@ -44,8 +44,11 @@ def _resolve_symbol(token):
     return hasattr(mod, attr)
 
 
-@pytest.mark.parametrize("doc", ["PARITY.md", "README.md",
-                                 "docs/SCALING.md"])
+DOCS = ["PARITY.md", "README.md", "docs/SCALING.md", "docs/PERF.md",
+        "docs/DEMO.md"]
+
+
+@pytest.mark.parametrize("doc", DOCS)
 def test_doc_citations_resolve(doc):
     missing = []
     for token in _doc_tokens(doc):
@@ -63,6 +66,29 @@ def test_doc_citations_resolve(doc):
                                       .replace("//", "/"))).exists()):
                 missing.append(token)
     assert not missing, f"{doc} cites missing files/symbols: {missing}"
+
+
+@pytest.mark.parametrize("doc", DOCS)
+def test_doc_test_name_citations_resolve(doc):
+    """Docs cite test ids (e.g. tests/test_train_engine.py::
+    test_remat_policies_numerics) as evidence, usually in plain prose;
+    a renamed test silently orphans the claim. Every test_*-shaped
+    token in the raw text must resolve to a test module stem, a
+    ``def test_...`` in tests/, or (with a trailing ``_``/``*`` glob)
+    a prefix of one."""
+    defined = set()
+    for f in (REPO / "tests").glob("test_*.py"):
+        defined.update(re.findall(r"^def (test_\w+)", f.read_text(), re.M))
+    stems = {f.stem for f in (REPO / "tests").glob("test_*.py")}
+    text = (REPO / doc).read_text()
+    missing = []
+    for name in set(re.findall(r"test_\w+", text)):
+        if name in defined or name in stems:
+            continue
+        if name.endswith("_") and any(d.startswith(name) for d in defined):
+            continue  # glob citation like test_conv1_s2d_*
+        missing.append(name)
+    assert not missing, f"{doc} cites unknown test names: {sorted(missing)}"
 
 
 def test_readme_cli_commands_exist():
