@@ -105,10 +105,14 @@ def process_votes_official(votes_row: np.ndarray,
          strict majority of the remaining votes; otherwise unknown.
        - ``probability`` / ``crossentropy``: greedily take top classes
          until 75 % of the votes are covered or 3 classes are taken;
-         hitting unknown/NF at the top stops the take (and is dropped
-         again if real emotions already lead); if the kept mass is
-         <= 50 % of the votes, or more than 3 classes tied in, the
-         image is unknown.
+         hitting unknown/NF at the top stops the take — and if real
+         emotions already lead, the unknown/NF take is rolled back
+         (both its mass and its ``count``, so an eviction at count 4
+         does NOT trip the discard); if the kept mass is <= 50 % of
+         the votes, or more than 3 real classes tied in, the image is
+         unknown. Semantics pinned by a 10k-table differential fuzz
+         against an independent transliteration of the official code
+         (tests/ferplus_official_oracle.py).
        - ``multi_target``: keep every class holding >= 30 % of the
          votes; unknown unless some class holds >= 50 %.
 
@@ -153,10 +157,16 @@ def process_votes_official(votes_row: np.ndarray,
                         valid = False
                         if sum(emotion) > maxval:  # real emotions lead
                             emotion[i] = 0.0
-                            # official code rolls back sum_part, NOT
-                            # count — so an eviction at count 4 still
-                            # trips the count>3 discard below
-                            sum_part -= maxval
+                            # official code rolls back count, NOT
+                            # sum_part (sum_part is dead here: valid
+                            # already ends the while loop) — so an
+                            # unknown evicted at count 4 leaves count 3
+                            # and the sample SURVIVES the count>3
+                            # discard. Round-4 had this inverted; the
+                            # differential fuzz vs the independent
+                            # oracle (tests/ferplus_official_oracle.py)
+                            # caught it on eviction-at-count-4 tables.
+                            count -= 1
                         break
         if sum(emotion) <= 0.5 * sum_list or count > 3:
             emotion = unknown

@@ -208,12 +208,14 @@ def test_ferplus_official_label_rules():
     d = process_votes_official(v(happiness=6, unknown=3, sadness=1),
                                mode="crossentropy")
     assert d.argmax() == 1 and d[8] == 0.0
-    # eviction rolls back sum_part but NOT count (official inline
-    # semantics): a 4-way tie including unknown still reaches count 4
-    # and trips the count>3 discard even after unknown is evicted
+    # eviction rolls back count but NOT sum_part (official inline
+    # semantics, pinned by the differential fuzz below): a 4-way tie
+    # including unknown evicts unknown AND decrements count back to 3,
+    # so the real three-way split SURVIVES the count>3 discard
     d = process_votes_official(
         v(happiness=4, sadness=4, anger=4, unknown=4), mode="crossentropy")
-    assert d.argmax() == 8
+    np.testing.assert_allclose(
+        d, v(happiness=1 / 3, sadness=1 / 3, anger=1 / 3), atol=1e-7)
     # (4) multi_target: >=30% classes kept, but only if some class >=50%
     d = process_votes_official(v(happiness=5, sadness=4, anger=1),
                                mode="multi_target")
@@ -224,6 +226,62 @@ def test_ferplus_official_label_rules():
 
     with pytest.raises(ValueError, match="unknown FERPlus mode"):
         process_votes_official(v(happiness=5), mode="nope")
+
+
+def test_ferplus_official_differential_fuzz():
+    """Differential fuzz of process_votes_official against an
+    INDEPENDENT transliteration of the official FERPlus ``_process_data``
+    (tests/ferplus_official_oracle.py; round-4 VERDICT next #4). 10k+
+    vote tables — uniform counts, adversarial ties, all-zero rows,
+    unknown/NF-heavy rows, single-vote rows, float votes — across all
+    four modes must produce identical distributions and keep decisions.
+    Known deviation: where the official code raises ZeroDivisionError
+    (multi_target on a row that outlier-removal empties), ours returns
+    unknown; the fuzz pins exactly that mapping."""
+    from mcncrossmodalemotions_tpu.data.ferplus import (
+        process_votes_official,
+    )
+
+    from ferplus_official_oracle import official_process_data
+
+    rng = np.random.default_rng(0)
+    tables = []
+    # uniform random integer counts (the real data is 10-rater counts)
+    tables.append(rng.integers(0, 11, size=(4000, 10)))
+    # tie-heavy: few distinct values so maxval ties are common
+    tables.append(rng.integers(0, 4, size=(3000, 10)))
+    # unknown/NF-heavy rows
+    heavy = rng.integers(0, 3, size=(1500, 10))
+    heavy[:, 8:] = rng.integers(3, 11, size=(1500, 2))
+    tables.append(heavy)
+    # sparse rows incl. all-zero and single-vote rows
+    sparse = rng.integers(0, 11, size=(1500, 10))
+    sparse[rng.random((1500, 10)) < 0.8] = 0
+    tables.append(sparse)
+    # a few float tables (the official code never requires integers)
+    tables.append(np.round(rng.random((500, 10)) * 6, 2))
+    votes = np.concatenate(tables).astype(np.float64)
+    assert len(votes) >= 10000
+
+    mismatches = []
+    for mode in ("majority", "probability", "crossentropy", "multi_target"):
+        for row in votes:
+            ours = process_votes_official(row.copy(), mode=mode)
+            try:
+                theirs = np.asarray(
+                    official_process_data(list(row), mode), np.float64)
+            except ZeroDivisionError:
+                # official crashes; we define unknown (documented)
+                if ours.argmax() != 8 or ours[8] != 1.0:
+                    mismatches.append((mode, row.tolist(), "zerodiv",
+                                       ours.tolist()))
+                continue
+            if not np.allclose(ours, theirs, atol=1e-6):
+                mismatches.append((mode, row.tolist(), theirs.tolist(),
+                                   ours.tolist()))
+    assert not mismatches, (
+        f"{len(mismatches)} divergences from the official oracle; "
+        f"first 5: {mismatches[:5]}")
 
 
 def test_ferplus_clean_subset_rules():
