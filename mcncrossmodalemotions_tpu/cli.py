@@ -498,7 +498,8 @@ def cmd_verify_release(argv):
 
     Usage: verify-release [root=PATH] [download=false] [fer_csv=...]
            [ferplus_csv=...] [tolerance=0.005] [models=a,b,c]
-           [check_logits_imdb=false] [out_root=...]
+           [check_logits_imdb=false] [sha_manifest=pins.json]
+           [out_root=...]
     """
     from mcncrossmodalemotions_tpu.exp.verify_release import (
         RELEASE_MODELS,
@@ -523,6 +524,7 @@ def cmd_verify_release(argv):
         check_logits_imdb=_to_bool(opts.get("check_logits_imdb", "true")),
         fer_csv=opts.get("fer_csv"),
         ferplus_csv=opts.get("ferplus_csv"),
+        sha_manifest=opts.get("sha_manifest"),
         out_root=opts.get("out_root", "exps/verify-release"),
         **kwargs)
     return 0 if report["pass"] else 1
