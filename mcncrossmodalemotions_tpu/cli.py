@@ -224,8 +224,13 @@ def cmd_fetch_imdb(argv):
 
     Usage: fetch-imdb [root=data/emovoxceleb] [cache=imdb.npz]
                       [download=true] [teacher=senet50-ferplus] [limit=N]
+                      [chunk_frames=N]
     Downloads the released logits imdb, or runs the dense teacher
-    inference build when a teacher is given.
+    inference build when a teacher is given. chunk_frames=N bounds each
+    dense-inference process to N frames and cycles workers over the
+    partial checkpoint (bitwise-identical result; the mitigation for
+    rigs whose device client leaks RSS over multi-hour runs — see
+    docs/SCALING.md).
     """
     import numpy as np
 
@@ -243,6 +248,12 @@ def cmd_fetch_imdb(argv):
     build_kwargs = {}
     if "limit" in opts:
         build_kwargs["limit"] = int(opts["limit"])
+    if "chunk_frames" in opts:
+        if "teacher" not in opts:
+            print("chunk_frames requires teacher=<name> (the dense build)")
+            return 2
+        build_kwargs["max_frames_per_process"] = int(opts["chunk_frames"])
+        build_kwargs["teacher_spec"] = {"pretrained": opts["teacher"]}
     imdb = fetch_emovoxceleb_imdb(
         opts.get("root", "data/emovoxceleb"),
         teacher_model, teacher_vars,

@@ -96,14 +96,26 @@ class VisualFeatureExtractor:
     def frame_logits(self, frame_paths: Sequence[str],
                      verbose: bool = True,
                      partial_path: Optional[str] = None,
-                     checkpoint_every: int = 200) -> np.ndarray:
+                     checkpoint_every: int = 200,
+                     max_frames: Optional[int] = None) -> Optional[np.ndarray]:
         """[N, C] logits over a flat frame list, batched + prefetched.
 
         ``partial_path`` makes the dense pass resumable (the reference's
         only recovery was rerunning the whole multi-hour loop): completed
         logits are flushed periodically and reloaded on restart, keyed on
         a fingerprint of the frame list and the model weights.
+
+        ``max_frames`` bounds the NEW frames processed by this call
+        (requires ``partial_path``): when the job is not finished within
+        the bound, progress is flushed and ``None`` is returned — the
+        worker-cycling primitive behind ``exp/dense_chunked.py`` (the
+        tunnel-client RSS mitigation measured in
+        tools/soak_dense_genesis.py: process exit is the only reliable
+        way to return that memory).
         """
+        if max_frames is not None and not partial_path:
+            raise ValueError("max_frames requires partial_path (the next "
+                             "process must be able to resume)")
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(frame_paths)
@@ -135,6 +147,12 @@ class VisualFeatureExtractor:
                if verbose and remaining > 0 else None)
         chunks = [frame_paths[i:i + self.batch_size]
                   for i in range(done, n, self.batch_size)]
+        truncated = False
+        if max_frames is not None and max_frames < remaining:
+            # whole batches only; at least one so every call progresses
+            keep = max(1, max_frames // self.batch_size)
+            if keep < len(chunks):
+                chunks, truncated = chunks[:keep], True
         if not chunks:
             if partial_path:
                 Path(partial_path).unlink(missing_ok=True)  # job complete
@@ -160,6 +178,9 @@ class VisualFeatureExtractor:
                     eta.tick(len(chunk))
                 if partial_path and (ci + 1) % effective_every == 0:
                     flush()
+        if truncated:
+            flush()  # bounded run: persist progress, leave partial alive
+            return None
         result = np.concatenate(out) if out else np.zeros((0, 8), np.float32)
         if partial_path:
             Path(partial_path).unlink(missing_ok=True)  # complete: no resume needed
@@ -177,6 +198,9 @@ def compute_visual_feats(imdb, model=None, variables=None,
                          crop_ratio: float = 1.0,
                          mesh=None,
                          clobber: bool = False,
+                         input_size: int = 224,
+                         max_frames_per_process: Optional[int] = None,
+                         model_spec: Optional[dict] = None,
                          verbose: bool = True) -> List[np.ndarray]:
     """Per-track [F, C] teacher logits for a TrackImdb.
 
@@ -188,6 +212,12 @@ def compute_visual_feats(imdb, model=None, variables=None,
     compute_visual_feats.m:5). ``crop_ratio=1.0`` is the reference's
     external-face default (no CropSize, :123-143); the EmoVoxCeleb dense
     build uses 1/1.6.
+
+    ``max_frames_per_process`` runs the dense pass as bounded worker
+    subprocesses over the shared partial checkpoint (bitwise-identical
+    result; exp/dense_chunked.py — the leaky-link-rig mitigation).
+    It requires ``feat_path`` and a JSON-able ``model_spec`` describing
+    how a worker rebuilds the model (see dense_chunked.build_worker_model).
     """
     if feat_path and Path(feat_path).exists() and not clobber:
         from mcncrossmodalemotions_tpu.exp.compute_audio_feats import (
@@ -208,14 +238,31 @@ def compute_visual_feats(imdb, model=None, variables=None,
         logits = [rng.randn(len(t), num_classes).astype(np.float32)
                   for t in tracks]
     else:
-        assert model is not None and variables is not None
         flat = [str(Path(frame_root) / p) for track in tracks for p in track]
-        extractor = VisualFeatureExtractor(model, variables,
-                                           batch_size=batch_size,
-                                           crop_ratio=crop_ratio, mesh=mesh)
         partial = f"{feat_path}.partial.npz" if feat_path else None
-        all_logits = extractor.frame_logits(flat, verbose=verbose,
-                                            partial_path=partial)
+        if max_frames_per_process:
+            from mcncrossmodalemotions_tpu.exp.dense_chunked import (
+                chunked_frame_logits,
+            )
+
+            if not (partial and model_spec and variables is not None):
+                raise ValueError(
+                    "max_frames_per_process requires feat_path, "
+                    "model_spec and variables")
+            all_logits = chunked_frame_logits(
+                model_spec, variables, flat, partial,
+                chunk_frames=max_frames_per_process,
+                batch_size=batch_size, crop_ratio=crop_ratio,
+                input_size=input_size, verbose=verbose)
+        else:
+            assert model is not None and variables is not None
+            extractor = VisualFeatureExtractor(model, variables,
+                                               batch_size=batch_size,
+                                               crop_ratio=crop_ratio,
+                                               input_size=input_size,
+                                               mesh=mesh)
+            all_logits = extractor.frame_logits(flat, verbose=verbose,
+                                                partial_path=partial)
         logits, offset = [], 0
         for track in tracks:
             f = len(track)

@@ -51,11 +51,18 @@ def build_imdb(root: str | Path, teacher_model, teacher_variables,
                limit: Optional[int] = None,
                mesh=None,
                partial_path: Optional[str] = None,
+               max_frames_per_process: Optional[int] = None,
+               teacher_spec: Optional[dict] = None,
                verbose: bool = True) -> EmoVoxImdb:
     """Dense teacher inference over all registered frames -> EmoVoxImdb.
 
     ``set_assignment`` maps speaker id -> set (1/2/3); defaults to 1.
     ``limit`` caps processed tracks (the opts.limit dev pattern, :62).
+    ``max_frames_per_process`` + ``teacher_spec`` run the dense pass as
+    bounded worker subprocesses over the partial checkpoint
+    (exp/dense_chunked.py; requires ``partial_path``) — for rigs whose
+    device client leaks RSS over multi-hour runs (the 5.08M-frame
+    build; tools/soak_dense_genesis.py isolated the leak).
     """
     from mcncrossmodalemotions_tpu import EMOTIONS
     from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
@@ -77,15 +84,29 @@ def build_imdb(root: str | Path, teacher_model, teacher_variables,
     )
 
     # CropSize 1/1.6 for the VoxCeleb frames (fetch_emovoxceleb_imdb.m:169)
-    extractor = VisualFeatureExtractor(teacher_model, teacher_variables,
-                                       batch_size=batch_size,
-                                       crop_ratio=1.0 / 1.6, mesh=mesh)
     flat = [str(frame_root / f) for track in frames for f in track]
     if verbose:
         print(f"dense teacher inference over {len(flat)} frames "
               f"({len(wav_paths)} tracks)")
-    all_logits = extractor.frame_logits(flat, verbose=verbose,
-                                        partial_path=partial_path)
+    if max_frames_per_process:
+        from mcncrossmodalemotions_tpu.exp.dense_chunked import (
+            chunked_frame_logits,
+        )
+
+        if not (partial_path and teacher_spec):
+            raise ValueError("max_frames_per_process requires "
+                             "partial_path and teacher_spec")
+        all_logits = chunked_frame_logits(
+            teacher_spec, teacher_variables, flat, partial_path,
+            chunk_frames=max_frames_per_process, batch_size=batch_size,
+            crop_ratio=1.0 / 1.6, verbose=verbose)
+    else:
+        extractor = VisualFeatureExtractor(teacher_model,
+                                           teacher_variables,
+                                           batch_size=batch_size,
+                                           crop_ratio=1.0 / 1.6, mesh=mesh)
+        all_logits = extractor.frame_logits(flat, verbose=verbose,
+                                            partial_path=partial_path)
     wav_logits, offset = [], 0
     for track in frames:
         f = len(track)

@@ -384,3 +384,84 @@ def test_feat_cache_identity_checks(tmp_path):
     relegacy = compute_audio_feats(imdb, model_name="random",
                                    feat_path=str(p), verbose=False)
     assert len(relegacy) == 4
+
+
+def test_visual_extractor_max_frames_bound(tmp_path, tiny_teacher_pipeline):
+    """max_frames= bounds a single call to whole batches, flushes the
+    partial, returns None; a follow-up unbounded call completes to the
+    exact clean-run result (the dense_chunked worker primitive)."""
+    from mcncrossmodalemotions_tpu.data.images import save_synthetic_frame
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+    )
+
+    model, variables = tiny_teacher_pipeline
+    paths = []
+    for i in range(10):
+        p = tmp_path / f"f{i:02d}.jpg"
+        save_synthetic_frame(p, i % 4, seed=i)
+        paths.append(str(p))
+    ex = VisualFeatureExtractor(model, variables, batch_size=2)
+    clean = ex.frame_logits(paths, verbose=False)
+
+    partial = tmp_path / "partial.npz"
+    with pytest.raises(ValueError, match="partial_path"):
+        ex.frame_logits(paths, verbose=False, max_frames=4)
+    out = ex.frame_logits(paths, verbose=False, partial_path=str(partial),
+                          max_frames=4)
+    assert out is None
+    data = np.load(partial, allow_pickle=False)
+    assert data["logits"].shape == (4, 8)  # two whole batches
+    # max_frames below one batch still progresses by one batch
+    out = ex.frame_logits(paths, verbose=False, partial_path=str(partial),
+                          max_frames=1)
+    assert out is None
+    assert np.load(partial, allow_pickle=False)["logits"].shape[0] == 6
+    done = ex.frame_logits(paths, verbose=False, partial_path=str(partial))
+    np.testing.assert_array_equal(done, clean)
+    assert not partial.exists()
+
+
+def test_chunked_frame_logits_subprocess(tmp_path):
+    """The productised worker-cycling supervisor (exp/dense_chunked.py,
+    round-4 VERDICT next #3): bounded subprocess workers over the shared
+    partial checkpoint reproduce the in-process result exactly, across
+    more than one worker cycle."""
+
+    from mcncrossmodalemotions_tpu.data.images import save_synthetic_frame
+    from mcncrossmodalemotions_tpu.exp.compute_visual_feats import (
+        VisualFeatureExtractor,
+    )
+    from mcncrossmodalemotions_tpu.exp.dense_chunked import (
+        build_worker_model,
+        chunked_frame_logits,
+    )
+
+    spec = {"teacher": {"name": "senet50-ferplus", "tiny": True},
+            "input_size": 48}
+    model, _ = build_worker_model(spec)  # same constructor as the worker
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1), jnp.uint8),
+                           train=False)
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"f{i:02d}.jpg"
+        save_synthetic_frame(p, i % 4, seed=i)
+        paths.append(str(p))
+    ex = VisualFeatureExtractor(model, variables, batch_size=2,
+                                input_size=48)
+    clean = ex.frame_logits(paths, verbose=False)
+
+    # match the conftest runtime EXACTLY via worker_jax_config (config
+    # updates, not env vars): env-var platform selection eager-inits a
+    # differently-threaded client whose bf16 reduction order measurably
+    # differs from the config path — equality requires the same route
+    partial = tmp_path / "dense.partial.npz"
+    out = chunked_frame_logits(
+        spec, variables, paths, str(partial),
+        chunk_frames=6, batch_size=2, input_size=48, verbose=False,
+        worker_jax_config={"jax_platforms": "cpu",
+                           "jax_num_cpu_devices": 8})
+    np.testing.assert_array_equal(out, clean)
+    assert not partial.exists()
+    assert not partial.with_suffix(".job").exists()
