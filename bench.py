@@ -199,26 +199,126 @@ def _e2e_epoch_worker(emit_mulaw: bool) -> dict:
             "feed_bytes_per_utt": int(feed_bytes / cfg.batch_size)}
 
 
+def _online_epoch_worker() -> dict:
+    """End-to-end FUSED online-distillation epoch (fresh subprocess):
+    on-disk wavs + face-frame JPEGs -> batcher emitting waveforms AND
+    [B, K, 224, 224, 1] uint8 frames -> Trainer.fit epochs whose train
+    step is make_online_distill_step (frozen SENet50 forward + student
+    fwd/bwd/update in ONE XLA program). This is the north star's
+    co-scheduling claim measured at epoch level, host feed included —
+    the microbench (bench_fused_online) measures the same program on an
+    on-device batch. K=2 matches the microbench; the frames add
+    2*224^2 = 100,352 B/utt to the feed, which is what decides
+    fused-online vs offline-cached-logits on link-bound rigs (study in
+    docs/PERF.md)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.data.emovox import (
+        BatchConfig,
+        EmoVoxBatcher,
+        build_synthetic_imdb,
+    )
+    from mcncrossmodalemotions_tpu.models.teacher_pipeline import (
+        FaceTeacherPipeline,
+    )
+    from mcncrossmodalemotions_tpu.train.distill import (
+        make_online_distill_step,
+    )
+    from mcncrossmodalemotions_tpu.train.engine import TrainConfig, Trainer
+    from mcncrossmodalemotions_tpu.train.state import SGDConfig
+    from mcncrossmodalemotions_tpu.zoo import (
+        build_student,
+        build_teacher,
+        student_loss_fn,
+    )
+
+    root = Path(tempfile.mkdtemp(prefix="bench_online_"))
+    imdb = build_synthetic_imdb(root / "wavs", num_speakers=8,
+                                tracks_per_speaker=64,
+                                duration_range=(4.2, 6.0),
+                                with_frames=True)
+    cfg = BatchConfig(batch_size=64, frames_per_crop=2, frame_size=224)
+    batcher = EmoVoxBatcher(imdb, cfg, train=True, seed=0)
+    student = build_student("emovoxceleb-student")
+    pipeline = FaceTeacherPipeline(
+        teacher=build_teacher("senet50-ferplus"), augment=False)
+    # jitted init: op-by-op SENet50 init costs minutes of round trips on
+    # the tunnelled runtime (tools/soak_dense_genesis.py lesson)
+    tvars = jax.jit(lambda: pipeline.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, 1), jnp.uint8),
+        train=False))()
+    step = make_online_distill_step(
+        student.apply, pipeline.apply, tvars,
+        sgd=SGDConfig(weight_decay=0.0), pass_pad_mask=True)
+    trainer = Trainer(
+        student, student_loss_fn("hot-cross-ent", temperature=2.0),
+        TrainConfig(num_epochs=3, learning_rate=1e-4, weight_decay=0.0,
+                    log_every=10_000, resume=False,
+                    exp_dir=str(root / "exp")),
+        train_step_override=step)
+    example = next(iter(
+        batcher.batches(epoch=1, epoch_size=cfg.batch_size)))
+    state = trainer.init_state(example)
+    state, _ = trainer.run_epoch(state, batcher.batches(epoch=1), 1, True)
+    best = None
+    for ep in (2, 3):
+        state, stats = trainer.run_epoch(state, batcher.batches(epoch=ep),
+                                         ep, True)
+        if best is None or stats["samples_per_sec"] > best["samples_per_sec"]:
+            best = stats
+    feed_bytes = sum(np.asarray(leaf).nbytes
+                     for leaf in jax.tree.leaves(example))
+    return {"utts_per_sec": round(best["samples_per_sec"], 2),
+            "num_samples": best["num_samples"],
+            "feed_bound_frac": best.get("feed_bound_frac"),
+            "frames_per_crop": cfg.frames_per_crop,
+            "feed_bytes_per_utt": int(feed_bytes / cfg.batch_size)}
+
+
 def bench_end_to_end_epoch(details: dict):
     """One epoch over a synthetic ON-DISK imdb: native threaded loader +
     compact feed + double-buffered prefetch + train step (utts/s incl.
-    host). Measured for both feed formats — int16 PCM (default,
+    host). Measured for both offline feed formats — int16 PCM (default,
     lossless) and the opt-in mu-law uint8 (half the feed bytes again —
-    the lever when the host link, not compute, binds) — each in a fresh
-    subprocess so neither inherits the other's process state."""
+    the lever when the host link, not compute, binds) — plus the FUSED
+    online-distillation epoch (waveforms + face frames feed, teacher
+    in-graph), each in a fresh subprocess so none inherits another's
+    process state."""
     import subprocess
 
+    # key templates per worker flag ({m} = the measured field); the
+    # int16/mulaw8 names predate the online worker and stay stable for
+    # bench_history comparability
+    keymaps = {
+        "int16": {"utts_per_sec": "end_to_end_epoch_utts_per_sec",
+                  "num_samples": "end_to_end_epoch_samples",
+                  "feed_bound_frac": "end_to_end_feed_bound_frac",
+                  "feed_bytes_per_utt": "end_to_end_feed_bytes_per_utt"},
+        "mulaw8": {
+            "utts_per_sec": "end_to_end_epoch_utts_per_sec_mulaw8",
+            "num_samples": "end_to_end_epoch_samples_mulaw8",
+            "feed_bound_frac": "end_to_end_feed_bound_frac_mulaw8",
+            "feed_bytes_per_utt": "end_to_end_feed_bytes_per_utt_mulaw8"},
+        "online": {"utts_per_sec": "online_epoch_utts_per_sec",
+                   "num_samples": "online_epoch_samples",
+                   "feed_bound_frac": "online_epoch_feed_bound_frac",
+                   "feed_bytes_per_utt": "online_epoch_feed_bytes_per_utt",
+                   "frames_per_crop": "online_epoch_frames_per_crop"},
+    }
     out = None
-    for tag, flag in (("", "int16"), ("_mulaw8", "mulaw8")):
+    for flag in ("int16", "mulaw8", "online"):
         try:
             proc = subprocess.run(
                 [sys.executable, str(Path(__file__).resolve()),
                  "--e2e-worker", flag],
-                capture_output=True, text=True, timeout=900)
+                capture_output=True, text=True, timeout=1800)
         except subprocess.TimeoutExpired:
             # A wedged runtime must not stall the whole bench run —
             # the e2e lines are best-effort extras around the headline.
-            _log(f"e2e worker {flag} timed out (900 s); skipping")
+            _log(f"e2e worker {flag} timed out; skipping")
             continue
         if proc.returncode != 0:
             _log(f"e2e worker {flag} failed: {proc.stderr[-500:]}")
@@ -229,12 +329,9 @@ def bench_end_to_end_epoch(details: dict):
             _log(f"e2e worker {flag}: unparseable output "
                  f"{proc.stdout[-200:]!r}")
             continue
-        details[f"end_to_end_epoch_utts_per_sec{tag}"] = res["utts_per_sec"]
-        details[f"end_to_end_epoch_samples{tag}"] = res["num_samples"]
-        details[f"end_to_end_feed_bound_frac{tag}"] = res["feed_bound_frac"]
-        if "feed_bytes_per_utt" in res:
-            details[f"end_to_end_feed_bytes_per_utt{tag}"] = (
-                res["feed_bytes_per_utt"])
+        for field, key in keymaps[flag].items():
+            if field in res:
+                details[key] = res[field]
         if out is None:
             out = res["utts_per_sec"]
     return out
@@ -536,6 +633,94 @@ def _ensure_native_built():
         lib.rename(lib.with_suffix(".so.unusable"))
 
 
+# On-chip numerics tolerances vs the CPU golden (rationale measured and
+# documented in docs/PERF.md round-5 "on-chip numerics smoke"): the
+# spectrogram frontend pins Precision.HIGHEST so chip/CPU agree to
+# ~1e-5 relative; the train-step losses go through bf16-matmul networks
+# where ~1e-3..1e-2 relative drift is the expected bf16 envelope.
+_NUMERICS_FRONTEND_RTOL = 1e-3
+_NUMERICS_LOSS_RTOL = 5e-2
+
+
+def _numerics_probe() -> dict:
+    """Deterministic mini-computation run identically on CPU and chip:
+    the frontend over a fixed 1 s batch + 3 tiny-student train-step
+    losses on a fixed batch. PRNG (threefry) and inits are platform-
+    invariant, so any disagreement beyond fp envelope is a real
+    numerics bug on the accelerator path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcncrossmodalemotions_tpu.ops.spectrogram import (
+        DEFAULT_SPEC,
+        waveform_to_input,
+    )
+    from mcncrossmodalemotions_tpu.train.state import (
+        SGDConfig,
+        TrainState,
+        make_train_step,
+    )
+    from mcncrossmodalemotions_tpu.zoo import build_student, student_loss_fn
+
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, DEFAULT_SPEC.crop_samples(100)).astype(
+        np.float32) * 0.1
+    front = np.asarray(jax.device_get(
+        jax.jit(waveform_to_input)(jnp.asarray(wav))), np.float64)
+    batch = {
+        "data": jnp.asarray(wav),
+        "logit_target": jnp.asarray(rng.randn(2, 8).astype(np.float32) * 2),
+        "max_label": jnp.asarray(rng.randint(0, 8, 2)),
+    }
+    model = build_student(tiny=True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch["data"])
+    state = TrainState.create(variables, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(
+        model.apply, student_loss_fn("hot-cross-ent", temperature=2.0),
+        SGDConfig(weight_decay=0.0)))
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch, 1e-4)
+        losses.append(float(np.asarray(jax.device_get(m["loss"]))))
+    return {"frontend": front, "losses": np.asarray(losses, np.float64)}
+
+
+def _numerics_worker(out_path: str) -> None:
+    """CPU golden for the numerics smoke (fresh subprocess — this
+    process must not initialise the accelerator client)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    np.savez(out_path, **_numerics_probe())
+
+
+def bench_numerics(details: dict, golden_path) -> None:
+    """On-chip numerics smoke (round-4 VERDICT next #8): the bench run
+    proves perf on the real chip and, with this field, also that the
+    chip's numbers agree with the CPU reference within the documented
+    bf16 envelope — every BENCH record carries `numerics_ok`."""
+    if not golden_path or not Path(golden_path).exists():
+        _log("numerics golden unavailable; skipping numerics smoke")
+        return
+    golden = np.load(golden_path)
+    probe = _numerics_probe()
+    scale = max(float(np.abs(golden["frontend"]).max()), 1e-6)
+    frontend_rel = float(
+        np.abs(probe["frontend"] - golden["frontend"]).max() / scale)
+    loss_rel = float(np.max(
+        np.abs(probe["losses"] - golden["losses"])
+        / np.maximum(np.abs(golden["losses"]), 1e-6)))
+    details["numerics_frontend_rel"] = round(frontend_rel, 8)
+    details["numerics_loss_rel"] = round(loss_rel, 8)
+    details["numerics_ok"] = bool(
+        frontend_rel < _NUMERICS_FRONTEND_RTOL
+        and loss_rel < _NUMERICS_LOSS_RTOL)
+    if not details["numerics_ok"]:
+        _log(f"NUMERICS SMOKE FAILED: frontend_rel={frontend_rel:.2e} "
+             f"(tol {_NUMERICS_FRONTEND_RTOL}), loss_rel={loss_rel:.2e} "
+             f"(tol {_NUMERICS_LOSS_RTOL})")
+
+
 def bench_link_health(details: dict):
     """Tunnel-health proxy: wire time for a fixed 8 MB host->device put.
 
@@ -564,6 +749,7 @@ def bench_link_health(details: dict):
 # Metrics whose ceiling is the host->device link, not the pipeline.
 _LINK_BOUND_KEYS = ("end_to_end_epoch_utts_per_sec",
                     "end_to_end_epoch_utts_per_sec_mulaw8",
+                    "online_epoch_utts_per_sec",
                     "dense_inference_e2e_imgs_per_sec",
                     "audio_feats_tracks_per_sec")
 
@@ -630,14 +816,21 @@ def main():
     if "--e2e-worker" in sys.argv:
         # Workers inherit the parent's build/probe result via the
         # filesystem — no redundant probe+make inside each worker.
-        emit_mulaw = sys.argv[sys.argv.index("--e2e-worker") + 1] == "mulaw8"
-        print(json.dumps(_e2e_epoch_worker(emit_mulaw)))
+        flag = sys.argv[sys.argv.index("--e2e-worker") + 1]
+        if flag == "online":
+            print(json.dumps(_online_epoch_worker()))
+        else:
+            print(json.dumps(_e2e_epoch_worker(flag == "mulaw8")))
+        return
+    if "--numerics-worker" in sys.argv:
+        _numerics_worker(sys.argv[sys.argv.index("--numerics-worker") + 1])
         return
     _ensure_native_built()
 
     full = "--full" in sys.argv
     quick = "--quick" in sys.argv
     details: dict = {}
+    numerics_golden = None
     if not quick:
         # The e2e workers are subprocesses with their own runtime
         # clients; run them BEFORE this process touches the device (the
@@ -648,6 +841,19 @@ def main():
             bench_end_to_end_epoch(details)
         except Exception as exc:
             _log(f"end_to_end sub-benchmark failed: {exc}")
+        # CPU golden for the numerics smoke — also before the parent
+        # owns the device
+        try:
+            import subprocess
+
+            path = "/tmp/bench_numerics_golden.npz"
+            subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()),
+                 "--numerics-worker", path],
+                capture_output=True, timeout=900, check=True)
+            numerics_golden = path
+        except Exception as exc:
+            _log(f"numerics golden worker failed: {exc}")
     details.update({"device_kind": jax.devices()[0].device_kind,
                     "backend": jax.default_backend()})
     try:
@@ -657,6 +863,11 @@ def main():
 
     utts_per_sec = bench_train_step(details)
     if not quick:
+        try:
+            _log("running numerics smoke (chip vs CPU golden) ...")
+            bench_numerics(details, numerics_golden)
+        except Exception as exc:
+            _log(f"numerics smoke failed: {exc}")
         for name, fn in (("frontend", bench_frontend),
                          ("teacher", bench_teacher),
                          ("fused_online", bench_fused_online),
