@@ -111,7 +111,16 @@ def _verify_artifacts(names: Sequence[str], root, download: bool,
             pinned = (sidecar.read_text().split()[0]
                       if sidecar.exists() else None)
             expected = manifest.get(name)
-            if expected and pinned and expected.lower() != pinned.lower():
+            if expected and not pinned:
+                # a manifest pin must never go unchecked: fetch_artifact
+                # normally leaves a sidecar, but if it is absent (e.g. a
+                # torn write treated as "no pin"), hash the bytes here
+                from mcncrossmodalemotions_tpu.zoo.artifacts import (
+                    _file_sha256,
+                )
+
+                pinned = _file_sha256(p)
+            if expected and expected.lower() != pinned.lower():
                 # the bytes verify against their OWN sidecar but not the
                 # user-supplied provenance pin: wrong release, not just
                 # corruption — a hard failure

@@ -235,6 +235,40 @@ def test_verify_release_sha_manifest(release_tree, tmp_path):
     assert row["status"] == "corrupt" and "manifest" in row["error"]
 
 
+def test_verify_release_manifest_checked_without_sidecar(release_tree,
+                                                         tmp_path):
+    """A manifest pin must be enforced even when the artifact's sha256
+    sidecar is absent (e.g. torn write treated as no-pin): the bytes are
+    hashed directly. Good pin PASSES; wrong pin FAILS."""
+    import json
+
+    from mcncrossmodalemotions_tpu.zoo.artifacts import (
+        _file_sha256,
+        artifact_path,
+    )
+
+    path = artifact_path("emovoxceleb-student", root=release_tree)
+    good = _file_sha256(path)
+    manifest = tmp_path / "pins.json"
+
+    def _drop_sidecars():
+        for sc in release_tree.rglob("*.sha256"):
+            sc.unlink()
+
+    manifest.write_text(json.dumps({"emovoxceleb-student": good}))
+    _drop_sidecars()
+    report = _run(release_tree, tmp_path, sha_manifest=str(manifest))
+    assert report["pass"], report
+
+    manifest.write_text(json.dumps({"emovoxceleb-student": "0" * 64}))
+    _drop_sidecars()
+    report = _run(release_tree, tmp_path, sha_manifest=str(manifest))
+    assert not report["pass"]
+    row = [r for r in report["stages"]["artifacts"]["rows"]
+           if r["name"] == "emovoxceleb-student"][0]
+    assert row["status"] == "corrupt" and "manifest" in row["error"]
+
+
 def test_verify_release_empty_tree_does_not_pass(tmp_path):
     """An offline run with nothing available must not report PASS (all
     stages skipped is not verification)."""
